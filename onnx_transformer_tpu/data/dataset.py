@@ -1,0 +1,190 @@
+"""IWSLT14/WMT-style parallel BPE dataset + TPU-friendly batching.
+
+Capability parity with the reference's data layer
+(``iwslt14_train.py:177-361``, ``batch.py``, ``batch_iterator.py``) but
+numpy-native and static-shape-first: every batch is padded to a fixed
+``max_padding`` so XLA compiles one program for the whole epoch.
+
+Reference semantics reproduced exactly:
+- line pairs from ``data/{split}.{de,en}.bpe`` with trailing newline stripped
+  (``iwslt14_train.py:194-206``),
+- whitespace tokenization of pre-BPE'd text,
+- ``<s>``/``</s>`` wrapping with ids 0/1 and ``<blank>``=2 padding to
+  ``max_padding`` (``iwslt14_train.py:225-285``),
+- source pad mask and shifted-target causal+pad mask (``batch.py:4-30``),
+- token-bucketing by length to minimise padding waste
+  (``batch_iterator.py:4-20``, ``train.py:48-58``).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Iterator, Sequence
+
+import numpy as np
+
+from onnx_transformer_tpu.data.vocab import BOS_ID, EOS_ID, PAD_ID, Vocab
+
+
+def load_pairs(src_path: str, tgt_path: str) -> list[tuple[str, str]]:
+    with open(src_path, "r") as f:
+        src_lines = f.readlines()
+    with open(tgt_path, "r") as f:
+        tgt_lines = f.readlines()
+    return [(s.rstrip("\n"), t.rstrip("\n")) for s, t in zip(src_lines, tgt_lines)]
+
+
+def load_split(data_dir: str, split: str, src_lang: str = "de", tgt_lang: str = "en"):
+    return load_pairs(
+        os.path.join(data_dir, f"{split}.{src_lang}.bpe"),
+        os.path.join(data_dir, f"{split}.{tgt_lang}.bpe"),
+    )
+
+
+def tokenize(line: str) -> list[str]:
+    return line.split()
+
+
+def encode_sentence(line: str, vocab: Vocab, max_padding: int) -> np.ndarray:
+    """<s> + tokens + </s>, padded (or truncated, keeping </s>) to max_padding."""
+    ids = [BOS_ID] + vocab(tokenize(line)) + [EOS_ID]
+    if len(ids) > max_padding:
+        ids = ids[: max_padding - 1] + [EOS_ID]
+    out = np.full((max_padding,), PAD_ID, dtype=np.int32)
+    out[: len(ids)] = ids
+    return out
+
+
+def collate(
+    batch: Sequence[tuple[str, str]],
+    vocab_src: Vocab,
+    vocab_tgt: Vocab,
+    max_padding: int = 72,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Pairs of raw BPE lines -> (src, tgt) int32 arrays [B, max_padding]."""
+    src = np.stack([encode_sentence(s, vocab_src, max_padding) for s, _ in batch])
+    tgt = np.stack([encode_sentence(t, vocab_tgt, max_padding) for _, t in batch])
+    return src, tgt
+
+
+def make_masks(src: np.ndarray, tgt: np.ndarray, pad: int = PAD_ID):
+    """Reference ``batch.py:4-30``: src pad mask [B,1,S]; decoder input is
+    tgt[:, :-1], labels tgt[:, 1:]; tgt mask = pad-mask AND causal [B,T-1,T-1]."""
+    src_mask = (src != pad)[:, None, :]
+    tgt_in = tgt[:, :-1]
+    tgt_y = tgt[:, 1:]
+    t = tgt_in.shape[1]
+    causal = np.tril(np.ones((t, t), dtype=bool))
+    tgt_mask = (tgt_in != pad)[:, None, :] & causal[None, :, :]
+    ntokens = int((tgt_y != pad).sum())
+    return src_mask, tgt_in, tgt_y, tgt_mask, ntokens
+
+
+@dataclass
+class Batch:
+    """Materialised training batch (all numpy, static shapes)."""
+
+    src: np.ndarray        # [B, S] int32
+    tgt: np.ndarray        # [B, T] int32 (full, unshifted)
+    src_mask: np.ndarray   # [B, 1, S] bool
+    tgt_in: np.ndarray     # [B, T-1]
+    tgt_y: np.ndarray      # [B, T-1]
+    tgt_mask: np.ndarray   # [B, T-1, T-1] bool
+    ntokens: int
+
+    @classmethod
+    def make(cls, src: np.ndarray, tgt: np.ndarray, pad: int = PAD_ID) -> "Batch":
+        src_mask, tgt_in, tgt_y, tgt_mask, ntokens = make_masks(src, tgt, pad)
+        return cls(src, tgt, src_mask, tgt_in, tgt_y, tgt_mask, ntokens)
+
+
+class BucketedLoader:
+    """Token-bucketing batch iterator.
+
+    Pools ``pool_factor * batch_size`` examples, sorts by (src_len, tgt_len)
+    like the reference's torchtext Iterator (``batch_iterator.py:9-19``),
+    cuts fixed-size batches, then shuffles batch order.  Every batch has the
+    same [B, max_padding] shape; short final batches are dropped when
+    ``drop_last`` (default, to keep XLA shapes static).
+    """
+
+    def __init__(
+        self,
+        pairs: Sequence[tuple[str, str]],
+        vocab_src: Vocab,
+        vocab_tgt: Vocab,
+        batch_size: int = 128,
+        max_padding: int = 72,
+        shuffle: bool = True,
+        pool_factor: int = 100,
+        drop_last: bool = True,
+        seed: int = 0,
+        num_shards: int = 1,
+        shard_index: int = 0,
+    ):
+        self.pairs = list(pairs)
+        self.vocab_src = vocab_src
+        self.vocab_tgt = vocab_tgt
+        self.batch_size = batch_size
+        self.max_padding = max_padding
+        self.shuffle = shuffle
+        self.pool_factor = pool_factor
+        self.drop_last = drop_last
+        self.seed = seed
+        self.epoch = 0
+        # Multi-host data sharding (replaces the reference's
+        # DistributedSampler, distributed/iwslt14_train.py:334).
+        self.num_shards = num_shards
+        self.shard_index = shard_index
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __len__(self) -> int:
+        n = len(self.pairs) // self.num_shards
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[Batch]:
+        rng = np.random.default_rng(self.seed + self.epoch)
+        idx = np.arange(len(self.pairs))
+        if self.shuffle:
+            rng.shuffle(idx)
+        idx = idx[self.shard_index :: self.num_shards]
+
+        batches = []
+        pool = self.pool_factor * self.batch_size
+        for start in range(0, len(idx), pool):
+            chunk = idx[start : start + pool]
+            keyed = sorted(
+                chunk,
+                key=lambda i: (
+                    len(self.pairs[i][0].split()),
+                    len(self.pairs[i][1].split()),
+                ),
+            )
+            for b in range(0, len(keyed), self.batch_size):
+                group = keyed[b : b + self.batch_size]
+                if self.drop_last and len(group) < self.batch_size:
+                    continue
+                batches.append(group)
+        if self.shuffle:
+            rng.shuffle(batches)
+        for group in batches:
+            src, tgt = collate(
+                [self.pairs[i] for i in group],
+                self.vocab_src,
+                self.vocab_tgt,
+                self.max_padding,
+            )
+            yield Batch.make(src, tgt)
+
+
+def unbpe(tokens: Sequence[str]) -> str:
+    """Merge BPE subwords back to words ("@@ " continuation marker), the text
+    fixup the reference applies before BLEU
+    (``parallelized_inject_onnx_transformer.py:297-303``)."""
+    text = " ".join(tokens)
+    return text.replace("@@ ", "").replace("@@", "")

@@ -1,0 +1,423 @@
+"""The flagship model: Annotated-Transformer-style encoder-decoder, TPU-native.
+
+Capability parity with the reference's L1 model core (``model.py:15-37``,
+``encoder_decoder.py``, ``encoder.py``, ``decoder.py``, ``attention.py``,
+``position_feed_forward.py``) re-designed as a pure-functional JAX model:
+
+- params are a nested pytree (dicts/lists of jnp arrays), no modules;
+- every forward is a pure function of (params, inputs, rng) — jit/pjit/vmap
+  compose directly;
+- all linears are routed through a pluggable ``LinearImpl`` so the INT8/INT4
+  quantized models substitute fused Pallas kernels without touching the
+  model code (the TPU-native analogue of the reference's module surgery in
+  ``get_quantized_model.py:150-172``);
+- every interesting intermediate passes through the ``tap`` seam for
+  calibration and fault injection.
+
+Default hyperparameters match ``model.py:15-18``: N=6, d_model=512,
+d_ff=2048, h=8, dropout=0.3 (the reference force-overrides dropout to 0.3),
+and ``do_quantization=True`` attention-prob fake-quant (``attention.py:12``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from onnx_transformer_tpu.ops import layers as L
+
+Params = Any
+LinearImpl = Callable[..., jax.Array]
+
+
+@dataclass(frozen=True)
+class TransformerConfig:
+    src_vocab_size: int
+    tgt_vocab_size: int
+    num_layers: int = 6
+    d_model: int = 512
+    d_ff: int = 2048
+    num_heads: int = 8
+    dropout: float = 0.3
+    max_len: int = 5000
+    quantize_attn_probs: bool = True  # attention.py:12 do_quantization default
+    pad_id: int = 2
+    bos_id: int = 0
+    eos_id: int = 1
+    dtype: Any = jnp.float32
+
+    def with_(self, **kw) -> "TransformerConfig":
+        return replace(self, **kw)
+
+
+def default_linear(
+    name: str,
+    x: jax.Array,
+    w: jax.Array,
+    b: Optional[jax.Array],
+    taps: L.TapDict = None,
+    inject: L.InjectDict = None,
+) -> jax.Array:
+    """Plain fp linear.  Taps the *input* under the reference module name —
+    exactly what the calibration hooks record (get_quantized_scales.py:138-148)
+    — and the output under ``<name>.out``."""
+    x = L.tap(name, x, taps, inject)
+    y = L.linear(x, w, b)
+    return L.tap(name + ".out", y, taps, inject)
+
+
+class _RngSource:
+    """Hands out per-site dropout keys deterministically during tracing."""
+
+    def __init__(self, rng: Optional[jax.Array]):
+        self.rng = rng
+        self.count = 0
+
+    def next(self) -> Optional[jax.Array]:
+        if self.rng is None:
+            return None
+        self.count += 1
+        return jax.random.fold_in(self.rng, self.count)
+
+
+class Transformer:
+    """Functional encoder-decoder. All methods are pure in (params, inputs)."""
+
+    def __init__(self, config: TransformerConfig):
+        self.cfg = config
+
+    # ------------------------------------------------------------------ init
+
+    def init(self, rng: jax.Array) -> Params:
+        cfg = self.cfg
+        keys = iter(jax.random.split(rng, 1024))
+        dt = cfg.dtype
+
+        def lin(d_in, d_out):
+            return {
+                "w": L.xavier_uniform(next(keys), (d_in, d_out), dt),
+                "b": jnp.zeros((d_out,), dt),
+            }
+
+        def ln():
+            return {
+                "scale": jnp.ones((cfg.d_model,), dt),
+                "bias": jnp.zeros((cfg.d_model,), dt),
+            }
+
+        def attn():
+            return {
+                "q": lin(cfg.d_model, cfg.d_model),
+                "k": lin(cfg.d_model, cfg.d_model),
+                "v": lin(cfg.d_model, cfg.d_model),
+                "o": lin(cfg.d_model, cfg.d_model),
+            }
+
+        def ffn():
+            return {
+                "w1": lin(cfg.d_model, cfg.d_ff),
+                "w2": lin(cfg.d_ff, cfg.d_model),
+            }
+
+        enc_layers = [
+            {"self_attn": attn(), "ffn": ffn(), "ln0": ln(), "ln1": ln()}
+            for _ in range(cfg.num_layers)
+        ]
+        dec_layers = [
+            {
+                "self_attn": attn(),
+                "src_attn": attn(),
+                "ffn": ffn(),
+                "ln0": ln(),
+                "ln1": ln(),
+                "ln2": ln(),
+            }
+            for _ in range(cfg.num_layers)
+        ]
+        return {
+            "src_embed": {
+                "lut": L.xavier_uniform(next(keys), (cfg.src_vocab_size, cfg.d_model), dt)
+            },
+            "tgt_embed": {
+                "lut": L.xavier_uniform(next(keys), (cfg.tgt_vocab_size, cfg.d_model), dt)
+            },
+            "encoder": {"layers": enc_layers, "ln": ln()},
+            "decoder": {"layers": dec_layers, "ln": ln()},
+            "generator": lin(cfg.d_model, cfg.tgt_vocab_size),
+        }
+
+    # ------------------------------------------------------------- embeddings
+
+    def embed_src(self, params: Params, src: jax.Array, rngs=None, train=False):
+        x = L.embed(src, params["src_embed"]["lut"])
+        x = L.positional_encoding(x, 0, self.cfg.max_len)
+        return L.dropout(x, self.cfg.dropout, rngs.next() if rngs else None, train)
+
+    def embed_tgt(self, params: Params, tgt: jax.Array, offset=0, rngs=None, train=False):
+        x = L.embed(tgt, params["tgt_embed"]["lut"])
+        x = L.positional_encoding(x, offset, self.cfg.max_len)
+        return L.dropout(x, self.cfg.dropout, rngs.next() if rngs else None, train)
+
+    # -------------------------------------------------------------- sublayers
+
+    def _mha(
+        self,
+        p: Params,
+        name: str,
+        q_in,
+        k_in,
+        v_in,
+        mask,
+        rngs,
+        train,
+        taps,
+        inject,
+        lin: LinearImpl,
+        self_cache: Optional[dict] = None,
+        cache_index=None,
+        kv_precomputed: Optional[tuple] = None,
+    ):
+        """Multi-headed attention (attention.py:10-67).
+
+        ``self_cache``: dict with 'k','v' [B,H,Tmax,dk] for incremental
+        decode; new k/v written at ``cache_index``.
+        ``kv_precomputed``: (k,v) already projected+split (cross-attention
+        with cached encoder projections).
+        """
+        cfg = self.cfg
+        h = cfg.num_heads
+        q = L.split_heads(lin(f"{name}.linears.0", q_in, p["q"]["w"], p["q"]["b"], taps, inject), h)
+        if kv_precomputed is not None:
+            k, v = kv_precomputed
+        else:
+            k = L.split_heads(lin(f"{name}.linears.1", k_in, p["k"]["w"], p["k"]["b"], taps, inject), h)
+            v = L.split_heads(lin(f"{name}.linears.2", v_in, p["v"]["w"], p["v"]["b"], taps, inject), h)
+        if self_cache is not None:
+            # write this step's k/v into the cache, attend over the prefix
+            k = jax.lax.dynamic_update_slice(self_cache["k"], k, (0, 0, cache_index, 0))
+            v = jax.lax.dynamic_update_slice(self_cache["v"], v, (0, 0, cache_index, 0))
+            self_cache["k"], self_cache["v"] = k, v
+        ctx = L.scaled_dot_attention(
+            q, k, v, mask,
+            quantize=cfg.quantize_attn_probs,
+            drop_rate=cfg.dropout,
+            rng=rngs.next() if rngs else None,
+            train=train,
+            name=name,
+            taps=taps,
+            inject=inject,
+        )
+        out = L.merge_heads(ctx)
+        return lin(f"{name}.linears.3", out, p["o"]["w"], p["o"]["b"], taps, inject)
+
+    def _ffn(self, p, name, x, rngs, train, taps, inject, lin: LinearImpl):
+        """w_2(dropout(relu(w_1(x)))) (position_feed_forward.py:12-13)."""
+        hcur = lin(f"{name}.w_1", x, p["w1"]["w"], p["w1"]["b"], taps, inject)
+        hcur = jax.nn.relu(hcur)
+        hcur = L.dropout(hcur, self.cfg.dropout, rngs.next() if rngs else None, train)
+        return lin(f"{name}.w_2", hcur, p["w2"]["w"], p["w2"]["b"], taps, inject)
+
+    def _sublayer(self, x, ln_p, fn, rngs, train):
+        """Pre-norm residual: x + dropout(fn(norm(x))) (sublayer_connection.py:15-17)."""
+        y = fn(L.layer_norm(x, ln_p["scale"], ln_p["bias"]))
+        return x + L.dropout(y, self.cfg.dropout, rngs.next() if rngs else None, train)
+
+    # ----------------------------------------------------------------- encode
+
+    def encode(
+        self,
+        params: Params,
+        src: jax.Array,
+        src_mask: jax.Array,
+        rng: Optional[jax.Array] = None,
+        train: bool = False,
+        taps: L.TapDict = None,
+        inject: L.InjectDict = None,
+        lin: LinearImpl = default_linear,
+    ) -> jax.Array:
+        rngs = _RngSource(rng)
+        x = self.embed_src(params, src, rngs, train)
+        mask = src_mask[:, None, :, :] if src_mask is not None else None
+        for i, lp in enumerate(params["encoder"]["layers"]):
+            nm = f"encoder.layers.{i}"
+            x = self._sublayer(
+                x, lp["ln0"],
+                lambda h: self._mha(lp["self_attn"], f"{nm}.self_attn", h, h, h,
+                                    mask, rngs, train, taps, inject, lin),
+                rngs, train,
+            )
+            x = self._sublayer(
+                x, lp["ln1"],
+                lambda h: self._ffn(lp["ffn"], f"{nm}.feed_forward", h, rngs, train, taps, inject, lin),
+                rngs, train,
+            )
+        ln_f = params["encoder"]["ln"]
+        return L.layer_norm(x, ln_f["scale"], ln_f["bias"])
+
+    # ----------------------------------------------------------------- decode
+
+    def decode(
+        self,
+        params: Params,
+        memory: jax.Array,
+        src_mask: jax.Array,
+        tgt_in: jax.Array,
+        tgt_mask: jax.Array,
+        rng: Optional[jax.Array] = None,
+        train: bool = False,
+        taps: L.TapDict = None,
+        inject: L.InjectDict = None,
+        lin: LinearImpl = default_linear,
+        cache: Optional[dict] = None,
+        cache_index=None,
+    ) -> jax.Array:
+        """Full (teacher-forced) decode, or incremental when ``cache`` given.
+
+        With a cache, ``tgt_in`` is the current token(s) [B, 1],
+        ``tgt_mask`` is the mask over cache positions [B, 1, Tmax], and
+        ``cache_index`` the write position.  Returns hidden states [B, T, D];
+        the cache dict is updated functionally (returned via ``cache`` arg
+        mutation of the local dict — callers use :meth:`decode_step`).
+        """
+        rngs = _RngSource(rng)
+        offset = cache_index if cache is not None else 0
+        x = self.embed_tgt(params, tgt_in, offset, rngs, train)
+        tmask = tgt_mask[:, None, :, :] if tgt_mask is not None else None
+        smask = src_mask[:, None, :, :] if src_mask is not None else None
+        for i, lp in enumerate(params["decoder"]["layers"]):
+            nm = f"decoder.layers.{i}"
+            layer_cache = cache["layers"][i] if cache is not None else None
+            kv_cross = None
+            if cache is not None and "cross_k" in cache["layers"][i]:
+                kv_cross = (cache["layers"][i]["cross_k"], cache["layers"][i]["cross_v"])
+            x = self._sublayer(
+                x, lp["ln0"],
+                lambda h: self._mha(lp["self_attn"], f"{nm}.self_attn", h, h, h,
+                                    tmask, rngs, train, taps, inject, lin,
+                                    self_cache=layer_cache, cache_index=cache_index),
+                rngs, train,
+            )
+            x = self._sublayer(
+                x, lp["ln1"],
+                lambda h: self._mha(lp["src_attn"], f"{nm}.src_attn", h, memory, memory,
+                                    smask, rngs, train, taps, inject, lin,
+                                    kv_precomputed=kv_cross),
+                rngs, train,
+            )
+            x = self._sublayer(
+                x, lp["ln2"],
+                lambda h: self._ffn(lp["ffn"], f"{nm}.feed_forward", h, rngs, train, taps, inject, lin),
+                rngs, train,
+            )
+        ln_f = params["decoder"]["ln"]
+        return L.layer_norm(x, ln_f["scale"], ln_f["bias"])
+
+    # -------------------------------------------------------------- generator
+
+    def generate(
+        self,
+        params: Params,
+        x: jax.Array,
+        taps: L.TapDict = None,
+        inject: L.InjectDict = None,
+        lin: LinearImpl = default_linear,
+    ) -> jax.Array:
+        """log_softmax(proj(x)) (generator.py:14-15)."""
+        g = params["generator"]
+        return L.log_softmax(lin("generator.proj", x, g["w"], g["b"], taps, inject))
+
+    # ---------------------------------------------------------------- forward
+
+    def forward(
+        self,
+        params: Params,
+        src: jax.Array,
+        tgt_in: jax.Array,
+        src_mask: jax.Array,
+        tgt_mask: jax.Array,
+        rng: Optional[jax.Array] = None,
+        train: bool = False,
+        taps: L.TapDict = None,
+        inject: L.InjectDict = None,
+        lin: LinearImpl = default_linear,
+    ) -> jax.Array:
+        """EncoderDecoder.forward (encoder_decoder.py:19-29): hidden states,
+        not logits (the reference applies the generator separately in the
+        loss, iwslt14_train.py:108-123)."""
+        r1, r2 = (None, None) if rng is None else jax.random.split(rng)
+        memory = self.encode(params, src, src_mask, r1, train, taps, inject, lin)
+        return self.decode(params, memory, src_mask, tgt_in, tgt_mask, r2, train, taps, inject, lin)
+
+    def forward_logits(self, params, src, tgt_in, src_mask, tgt_mask, **kw):
+        h = self.forward(params, src, tgt_in, src_mask, tgt_mask, **kw)
+        return self.generate(params, h, taps=kw.get("taps"), inject=kw.get("inject"),
+                             lin=kw.get("lin", default_linear))
+
+    # --------------------------------------------------------------- KV cache
+
+    def init_cache(
+        self,
+        params: Params,
+        memory: jax.Array,
+        max_len: int,
+        lin: LinearImpl = default_linear,
+        taps: L.TapDict = None,
+        inject: L.InjectDict = None,
+    ) -> dict:
+        """Build the decode cache: empty self-attention K/V rings plus
+        precomputed cross-attention projections of the encoder memory.
+
+        This is the structural fix for the reference's biggest serving gap —
+        it re-runs the full decoder graph per emitted token and even rebuilds
+        the ORT session each step (onnx_optimized_custom_inference.py:624-671).
+        """
+        cfg = self.cfg
+        b = memory.shape[0]
+        h, dk = cfg.num_heads, cfg.d_model // cfg.num_heads
+        layers = []
+        for i, lp in enumerate(params["decoder"]["layers"]):
+            nm = f"decoder.layers.{i}.src_attn"
+            ap = lp["src_attn"]
+            ck = L.split_heads(lin(f"{nm}.linears.1", memory, ap["k"]["w"], ap["k"]["b"], taps, inject), h)
+            cv = L.split_heads(lin(f"{nm}.linears.2", memory, ap["v"]["w"], ap["v"]["b"], taps, inject), h)
+            layers.append(
+                {
+                    "k": jnp.zeros((b, h, max_len, dk), memory.dtype),
+                    "v": jnp.zeros((b, h, max_len, dk), memory.dtype),
+                    "cross_k": ck,
+                    "cross_v": cv,
+                }
+            )
+        return {"layers": layers}
+
+    def decode_step(
+        self,
+        params: Params,
+        cache: dict,
+        tok: jax.Array,        # [B, 1] current token ids
+        index,                 # scalar int: position of tok
+        src_mask: jax.Array,   # [B, 1, S]
+        lin: LinearImpl = default_linear,
+        taps: L.TapDict = None,
+        inject: L.InjectDict = None,
+    ) -> tuple[jax.Array, dict]:
+        """One KV-cached decoder step -> (next-token log-probs [B, V], cache)."""
+        max_len = cache["layers"][0]["k"].shape[2]
+        # attend over cache positions <= index
+        pos = jnp.arange(max_len)
+        step_mask = (pos <= index)[None, None, :]  # [1,1,Tmax]
+        step_mask = jnp.broadcast_to(step_mask, (tok.shape[0], 1, max_len))
+        # local copy of per-layer dicts so updates stay functional
+        cache = {"layers": [dict(lc) for lc in cache["layers"]]}
+        h = self.decode(
+            params, memory=None, src_mask=src_mask,
+            tgt_in=tok, tgt_mask=step_mask,
+            lin=lin, taps=taps, inject=inject,
+            cache=cache, cache_index=index,
+        )
+        logp = self.generate(params, h[:, -1], taps=taps, inject=inject, lin=lin)
+        return logp, cache

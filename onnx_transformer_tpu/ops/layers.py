@@ -1,0 +1,190 @@
+"""Functional transformer primitives (pure JAX, no modules).
+
+Each function reproduces the numeric semantics of the reference's nn.Modules
+bit-for-bit where it matters for checkpoint/score parity:
+
+- ``layer_norm``: the reference's quirky LayerNorm (``layer_norm.py:12-15``)
+  normalises by the *sample* std (Bessel-corrected, torch ``Tensor.std``
+  default) and adds eps to the std, not the variance.
+- ``attention_probs``: scores/sqrt(d_k), ``masked_fill(mask==0, -1e9)``,
+  softmax, then the reference's inline attention-prob fake-quant
+  ``round(p*127)/127`` (``attention.py:28-36`` — the in-place
+  ``mul_(127).round_()`` / ``div_(127)`` pair; the intermediate ``.to(int8)``
+  casts are no-ops on the value since probs lie in [0, 1]).
+- ``embed``: ``lut[x] * sqrt(d_model)`` (``embeddings.py:13``).
+- ``sinusoidal_pe``: log-space sin/cos table (``positional_encodings.py:14-21``).
+- masks: ``utils.py:10-14`` and ``batch.py:24-30``.
+
+Tap/inject plumbing: every interesting intermediate flows through ``tap``,
+which optionally records it into a dict (calibration/observability — the
+TPU-native replacement for the reference's forward hooks,
+``get_quantized_scales.py:138-148``) and/or rewrites it with a user function
+(fault injection — replacement for the node-interposition interpreter,
+``onnx_optimized_inference.py:18-212``).  Both are trace-time static, so the
+clean path compiles to exactly the same XLA program as without taps.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+TapDict = Optional[dict]
+InjectDict = Optional[dict]
+
+NEG_INF = -1e9
+
+
+def tap(name: str, x: jax.Array, taps: TapDict = None, inject: InjectDict = None):
+    """Route an intermediate through the observe/inject seam."""
+    if inject is not None and name in inject:
+        x = inject[name](x)
+    if taps is not None:
+        taps[name] = x
+    return x
+
+
+def layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array, eps: float = 1e-6):
+    """a_2 * (x - mean) / (std + eps) + b_2 with ddof=1 std (layer_norm.py:12-15)."""
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    d = x.shape[-1]
+    var = jnp.sum((x - mean) ** 2, axis=-1, keepdims=True) / (d - 1)
+    std = jnp.sqrt(var)
+    return scale * (x - mean) / (std + eps) + bias
+
+
+def linear(x: jax.Array, w: jax.Array, b: Optional[jax.Array] = None):
+    """x @ w + b with w stored (in_features, out_features)."""
+    y = jnp.dot(x, w, preferred_element_type=x.dtype)
+    if b is not None:
+        y = y + b
+    return y
+
+
+def embed(ids: jax.Array, lut: jax.Array):
+    lut = jnp.asarray(lut)  # tolerate numpy params (e.g. checkpoint-restored)
+    d_model = lut.shape[-1]
+    return jnp.take(lut, ids, axis=0) * np.sqrt(d_model).astype(lut.dtype)
+
+
+@lru_cache(maxsize=8)
+def _pe_table(max_len: int, d_model: int) -> np.ndarray:
+    position = np.arange(max_len, dtype=np.float32)[:, None]
+    div_term = np.exp(
+        np.arange(0, d_model, 2, dtype=np.float32) * -(np.log(10000.0) / d_model)
+    )
+    pe = np.zeros((max_len, d_model), dtype=np.float32)
+    pe[:, 0::2] = np.sin(position * div_term)
+    pe[:, 1::2] = np.cos(position * div_term)
+    return pe
+
+
+def positional_encoding(x: jax.Array, offset: int | jax.Array = 0, max_len: int = 5000):
+    """Additive sinusoidal PE; ``offset`` supports KV-cached single-token decode."""
+    pe = jnp.asarray(_pe_table(max_len, x.shape[-1]), dtype=x.dtype)
+    t = x.shape[-2]
+    if isinstance(offset, (int, np.integer)) and offset == 0:
+        return x + pe[:t]
+    return x + jax.lax.dynamic_slice_in_dim(pe, offset, t, axis=0)
+
+
+def dropout(x: jax.Array, rate: float, rng: Optional[jax.Array], train: bool):
+    if not train or rate == 0.0 or rng is None:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, p=keep, shape=x.shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+def quantize_probs(p: jax.Array) -> jax.Array:
+    """The reference's inline attention-prob quantization to the 1/127 grid
+    (attention.py:33-35)."""
+    return jnp.round(p * 127.0) / 127.0
+
+
+def split_heads(x: jax.Array, num_heads: int) -> jax.Array:
+    """[B, T, D] -> [B, H, T, D/H]."""
+    b, t, d = x.shape
+    return x.reshape(b, t, num_heads, d // num_heads).transpose(0, 2, 1, 3)
+
+
+def merge_heads(x: jax.Array) -> jax.Array:
+    """[B, H, T, dk] -> [B, T, D]."""
+    b, h, t, dk = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, t, h * dk)
+
+
+def attention_probs(
+    scores: jax.Array,
+    mask: Optional[jax.Array],
+    quantize: bool,
+    drop_rate: float = 0.0,
+    rng: Optional[jax.Array] = None,
+    train: bool = False,
+) -> jax.Array:
+    """softmax(mask_fill(scores)) [+ dropout] [+ 1/127 fake-quant]."""
+    if mask is not None:
+        scores = jnp.where(mask, scores, jnp.asarray(NEG_INF, scores.dtype))
+    p = jax.nn.softmax(scores, axis=-1)
+    p = dropout(p, drop_rate, rng, train)
+    if quantize:
+        p = quantize_probs(p)
+    return p
+
+
+def scaled_dot_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: Optional[jax.Array],
+    quantize: bool = True,
+    drop_rate: float = 0.0,
+    rng: Optional[jax.Array] = None,
+    train: bool = False,
+    name: str = "attn",
+    taps: TapDict = None,
+    inject: InjectDict = None,
+):
+    """q,k,v: [B, H, T, dk]; mask broadcastable to [B, H, Tq, Tk]."""
+    d_k = q.shape[-1]
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(d_k).astype(q.dtype)
+    scores = tap(f"{name}.scores", scores, taps, inject)
+    p = attention_probs(scores, mask, quantize, drop_rate, rng, train)
+    p = tap(f"{name}.probs", p, taps, inject)
+    out = jnp.einsum("bhqk,bhkd->bhqd", p, v)
+    return tap(f"{name}.context", out, taps, inject)
+
+
+def subsequent_mask(size: int) -> np.ndarray:
+    """Lower-triangular causal mask [1, size, size] (utils.py:10-14)."""
+    return np.tril(np.ones((1, size, size), dtype=bool))
+
+
+def make_src_mask(src: jax.Array, pad: int = 2) -> jax.Array:
+    return (src != pad)[:, None, :]
+
+
+def make_tgt_mask(tgt_in: jax.Array, pad: int = 2) -> jax.Array:
+    t = tgt_in.shape[-1]
+    causal = jnp.asarray(subsequent_mask(t))
+    return (tgt_in != pad)[:, None, :] & causal
+
+
+def log_softmax(x: jax.Array) -> jax.Array:
+    return jax.nn.log_softmax(x, axis=-1)
+
+
+def xavier_uniform(rng: jax.Array, shape: tuple, dtype=jnp.float32) -> jax.Array:
+    """Glorot/fan_avg uniform, matching torch.nn.init.xavier_uniform
+    (model.py:34-36): U(-a, a), a = sqrt(6 / (fan_in + fan_out))."""
+    fan_out, fan_in = shape[0], shape[1]
+    if len(shape) == 2:
+        # our linear weights are (in, out); torch's are (out, in) — fan sums
+        # are symmetric so the bound is identical either way
+        fan_in, fan_out = shape
+    a = np.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(rng, shape, dtype, minval=-a, maxval=a)

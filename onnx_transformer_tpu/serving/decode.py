@@ -1,0 +1,174 @@
+"""Greedy & beam decoding, KV-cached and jit-compiled.
+
+Replaces the reference's serving path (``onnx_optimized_custom_inference.py:624-671``,
+``batch_output.py:659-674``) which re-executes the entire decoder graph for
+every emitted token with no KV cache, no EOS early-exit, and per-step ONNX
+session rebuilds.  Here: one compiled XLA program, a ring KV cache, batched
+decode with per-row EOS handling, and a ``lax.scan`` token loop.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from onnx_transformer_tpu.models.transformer import Transformer, default_linear
+from onnx_transformer_tpu.ops import layers as L
+
+
+def greedy_decode(
+    model: Transformer,
+    params,
+    src: jax.Array,
+    src_mask: jax.Array,
+    max_len: int,
+    start_symbol: int = 0,
+    lin=default_linear,
+    stop_at_eos: bool = True,
+) -> jax.Array:
+    """Batched greedy decode -> token ids [B, max_len] (first column = BOS).
+
+    With ``stop_at_eos`` rows emit PAD after their first EOS (the reference
+    lacks this and keeps generating, ``batch_output.py:659-674``); set False
+    for exact reference-trajectory parity.
+    """
+    cfg = model.cfg
+    b = src.shape[0]
+    memory = model.encode(params, src, src_mask, lin=lin)
+    cache = model.init_cache(params, memory, max_len, lin=lin)
+    ys = jnp.full((b, max_len), cfg.pad_id, dtype=jnp.int32)
+    ys = ys.at[:, 0].set(start_symbol)
+    finished = jnp.zeros((b,), dtype=bool)
+
+    def step(carry, i):
+        cache, ys, finished, last = carry
+        logp, cache = model.decode_step(params, cache, last[:, None], i, src_mask, lin=lin)
+        nxt = jnp.argmax(logp, axis=-1).astype(jnp.int32)
+        if stop_at_eos:
+            nxt = jnp.where(finished, cfg.pad_id, nxt)
+            finished = finished | (nxt == cfg.eos_id)
+        ys = ys.at[:, i + 1].set(nxt)
+        return (cache, ys, finished, nxt), None
+
+    (cache, ys, finished, _), _ = jax.lax.scan(
+        step, (cache, ys, finished, ys[:, 0]), jnp.arange(max_len - 1)
+    )
+    return ys
+
+
+def greedy_decode_nocache(
+    model: Transformer,
+    params,
+    src: jax.Array,
+    src_mask: jax.Array,
+    max_len: int,
+    start_symbol: int = 0,
+    lin=default_linear,
+) -> jax.Array:
+    """Reference-parity oracle: re-run the full decoder per token, no cache,
+    no EOS exit (onnx_optimized_custom_inference.py:624-671).  Used in tests
+    to prove the cached path is trajectory-identical."""
+    b = src.shape[0]
+    memory = model.encode(params, src, src_mask, lin=lin)
+    ys = np.full((b, 1), start_symbol, dtype=np.int32)
+    for _ in range(max_len - 1):
+        tgt_mask = L.make_tgt_mask(jnp.asarray(ys), pad=-1)  # no pad in ys: causal only
+        h = model.decode(params, memory, src_mask, jnp.asarray(ys), tgt_mask, lin=lin)
+        logp = model.generate(params, h[:, -1], lin=lin)
+        nxt = np.array(jnp.argmax(logp, axis=-1))[:, None].astype(np.int32)
+        ys = np.concatenate([ys, nxt], axis=1)
+    return jnp.asarray(ys)
+
+
+def beam_decode(
+    model: Transformer,
+    params,
+    src: jax.Array,
+    src_mask: jax.Array,
+    max_len: int,
+    beam_size: int = 4,
+    start_symbol: int = 0,
+    length_penalty: float = 0.6,
+    lin=default_linear,
+) -> jax.Array:
+    """Batched beam search -> best hypothesis ids [B, max_len].
+
+    GNMT-style length normalisation ``((5+len)/6)^alpha``.  The whole search
+    is one scanned XLA program; beams ride the batch dimension so every
+    matmul stays MXU-shaped.
+    """
+    cfg = model.cfg
+    b = src.shape[0]
+    k = beam_size
+    neg = jnp.asarray(-1e9, jnp.float32)
+
+    memory = model.encode(params, src, src_mask, lin=lin)
+    # expand to beams: [B*K, ...]
+    mem_k = jnp.repeat(memory, k, axis=0)
+    mask_k = jnp.repeat(src_mask, k, axis=0)
+    cache = model.init_cache(params, mem_k, max_len, lin=lin)
+
+    ys = jnp.full((b * k, max_len), cfg.pad_id, dtype=jnp.int32)
+    ys = ys.at[:, 0].set(start_symbol)
+    # only beam 0 of each row is live at t=0
+    scores = jnp.tile(jnp.array([0.0] + [float(-1e9)] * (k - 1)), (b,))
+    finished = jnp.zeros((b * k,), dtype=bool)
+
+    def lp_norm(length):
+        return ((5.0 + length) / 6.0) ** length_penalty
+
+    def step(carry, i):
+        cache, ys, scores, finished = carry
+        last = ys[jnp.arange(b * k), i][:, None]
+        logp, cache = model.decode_step(params, cache, last, i, mask_k, lin=lin)
+        v = logp.shape[-1]
+        # finished beams only extend with PAD at zero cost
+        pad_only = jnp.full((b * k, v), -1e9).at[:, cfg.pad_id].set(0.0)
+        logp = jnp.where(finished[:, None], pad_only, logp)
+        cand = scores[:, None] + logp                      # [B*K, V]
+        cand = cand.reshape(b, k * v)
+        top_scores, top_idx = jax.lax.top_k(cand, k)       # [B, K]
+        beam_idx = top_idx // v                            # which source beam
+        tok_idx = (top_idx % v).astype(jnp.int32)
+        flat_src = (jnp.arange(b)[:, None] * k + beam_idx).reshape(-1)
+        # reorder beam state
+        ys = ys[flat_src]
+        ys = ys.at[:, i + 1].set(tok_idx.reshape(-1))
+        cache = jax.tree.map(lambda a: a[flat_src], cache)
+        finished = finished[flat_src] | (tok_idx.reshape(-1) == cfg.eos_id)
+        return (cache, ys, top_scores.reshape(-1), finished), None
+
+    (cache, ys, scores, finished), _ = jax.lax.scan(
+        step, (cache, ys, scores, finished), jnp.arange(max_len - 1)
+    )
+    # pick best beam per row by normalised score
+    lengths = jnp.sum(ys != cfg.pad_id, axis=1).astype(jnp.float32)
+    norm = scores / lp_norm(lengths)
+    norm = norm.reshape(b, k)
+    best = jnp.argmax(norm, axis=1)
+    return ys.reshape(b, k, max_len)[jnp.arange(b), best]
+
+
+def ids_to_tokens(ids: np.ndarray, vocab, eos_id: int = 1, pad_id: int = 2) -> list[list[str]]:
+    """Strip BOS, cut at first EOS, drop pads; return BPE token lists."""
+    out = []
+    for row in np.asarray(ids):
+        toks = []
+        for t in row[1:]:
+            if t == eos_id:
+                break
+            if t == pad_id:
+                continue
+            toks.append(vocab.itos[int(t)])
+        out.append(toks)
+    return out
+
+
+@partial(jax.jit, static_argnums=(0, 3, 4))
+def greedy_decode_jit(model, params, batch, max_len, start_symbol):
+    src, src_mask = batch
+    return greedy_decode(model, params, src, src_mask, max_len, start_symbol)

@@ -1,0 +1,27 @@
+"""Test harness: force an 8-device virtual CPU mesh before JAX import.
+
+Mirrors SURVEY.md §4's implication: multi-device tests run on
+``xla_force_host_platform_device_count`` fakes (no real pod needed).
+"""
+
+import os
+import sys
+
+# sitecustomize (PYTHONPATH=/root/.axon_site) imports jax at interpreter start
+# and registers the axon TPU-tunnel platform, so env vars alone are read too
+# late — jax.config.update wins as long as no backend has initialised yet.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", (
+    "tests must run on the virtual CPU mesh, got " + str(jax.devices())
+)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
