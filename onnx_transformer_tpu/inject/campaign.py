@@ -1,0 +1,315 @@
+"""Fault-injection campaigns as single compiled XLA programs.
+
+The reference's campaign driver splits the ONNX graph into pre/fault/post
+subgraphs per target, rebuilds ORT sessions per decode step, and fans
+experiments over a process pool (``parallelized_inject_onnx_transformer.py``).
+TPU-native redesign: the fault is *parameterised*, not structural —
+
+- every quantized linear carries a fault seam keyed by an integer target id;
+- the fault descriptor (target id, fault model, bit position, element/row/
+  col, PRNG key, active flag) is a pytree of traced scalars;
+- one compiled decode program therefore serves every experiment in the
+  campaign: clean decode is ``active=False``; sweeping layers x fault models
+  x bits is just re-invoking the same XLA executable with new scalars
+  (or vmapping over them).
+
+Fault models (parallelized_inject_onnx_transformer.py:805):
+  INPUT / WEIGHT            single int8/int4 bit flip pre-dequant
+  INPUT16 / WEIGHT16        16-wide systolic row / column fault
+  RANDOM                    random fp32 value at a random output index
+  RANDOM_BITFLIP            fp32 bit flip at an output index
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Iterable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from onnx_transformer_tpu.inject import bits as B
+from onnx_transformer_tpu.models.transformer import Transformer, default_linear
+from onnx_transformer_tpu.ops import layers as L
+from onnx_transformer_tpu.quant import core as Q
+from onnx_transformer_tpu.quant.w8a8 import is_quantized_output, quantized_linear_names
+
+FAULT_MODELS = ("INPUT", "WEIGHT", "INPUT16", "WEIGHT16", "RANDOM", "RANDOM_BITFLIP")
+_FM = {name: i for i, name in enumerate(FAULT_MODELS)}
+
+
+def target_ids(model: Transformer) -> dict[str, int]:
+    """Stable name -> integer id for every injectable linear."""
+    return {name: i for i, name in enumerate(sorted(quantized_linear_names(model.cfg.num_layers)))}
+
+
+@dataclass
+class FaultSpec:
+    """One experiment (one row of the reference's ``input/*.json`` sweep)."""
+
+    target: str
+    fault_model: str = "INPUT"
+    bit: int = 0
+    element: int = 0        # flat index for single-element faults
+    row: int = 0            # INPUT16: token row; WEIGHT16: row_start
+    col: int = 0            # INPUT16: col_start; WEIGHT16: column
+    seed: int = 0
+    inject_step: int = 0    # decode step at which the fault is live
+                            # (target_inference_number, ...inject_onnx_transformer.py:639)
+
+    def scalars(self, ids: dict[str, int]) -> dict:
+        return {
+            "target": jnp.int32(ids[self.target]),
+            "model": jnp.int32(_FM[self.fault_model]),
+            "bit": jnp.int32(self.bit),
+            "element": jnp.int32(self.element),
+            "row": jnp.int32(self.row),
+            "col": jnp.int32(self.col),
+            "rng": jax.random.key(self.seed),
+        }
+
+
+def _flip_bit_traced(q: jax.Array, bit, kind: str) -> jax.Array:
+    """int bit flip with a *traced* bit position."""
+    if kind == "int8":
+        u = q.astype(jnp.uint8) ^ (jnp.uint8(1) << bit.astype(jnp.uint8))
+        return u.astype(jnp.int8)
+    u = (q.astype(jnp.int32) & 0xF) ^ (1 << bit)
+    return jnp.where(u > 7, u - 16, u).astype(jnp.int8)
+
+
+def _flip_f32_traced(x: jax.Array, bit) -> jax.Array:
+    u = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+    f = jax.lax.bitcast_convert_type(u ^ (jnp.uint32(1) << bit.astype(jnp.uint32)), jnp.float32)
+    return jnp.where(jnp.isnan(f), 0.0, f)
+
+
+def _apply_elem(x, elem, fn):
+    flat = x.reshape(-1)
+    idx = jnp.clip(elem, 0, flat.shape[0] - 1)
+    return flat.at[idx].set(fn(flat[idx])).reshape(x.shape)
+
+
+def make_fault_linear_impl(
+    payloads: dict,
+    ids: dict[str, int],
+    fault: dict,
+    active,
+    bits: int = 8,
+    width: int = 16,
+):
+    """W8A8 linear impl with the parameterised fault seam.
+
+    ``fault`` is the scalar pytree from FaultSpec.scalars; ``active`` is a
+    traced bool — False compiles/executes the identical clean math (the
+    flips are data-dependent selects, negligible next to the matmul).
+    """
+    kind = "int8" if bits == 8 else "int4"
+
+    def lin(name: str, x, w, b, taps=None, inject=None):
+        p = payloads.get(name)
+        if p is None:
+            return default_linear(name, x, w, b, taps, inject)
+        hit = active & (fault["target"] == ids[name])
+        x = L.tap(name, x, taps, inject)
+        sx = Q.act_scale_per_token(x, bits)
+        xq = Q.quantize(x, sx, bits)
+        wq = p["wq"]
+
+        fm = fault["model"]
+        # INPUT: one int bit flip in the activation tensor
+        xq = jnp.where(
+            hit & (fm == _FM["INPUT"]),
+            _apply_elem(xq, fault["element"], lambda v: _flip_bit_traced(v, fault["bit"], kind)),
+            xq,
+        )
+        # INPUT16: row fault across `width` features of one token row
+        t_rows = xq.reshape(-1, xq.shape[-1])
+        rowmask = jax.lax.broadcasted_iota(jnp.int32, t_rows.shape, 0) == fault["row"]
+        colpos = jax.lax.broadcasted_iota(jnp.int32, t_rows.shape, 1)
+        colmask = (colpos >= fault["col"]) & (colpos < fault["col"] + width)
+        seg = jnp.where(rowmask & colmask, _flip_bit_traced(t_rows, fault["bit"], kind), t_rows)
+        xq = jnp.where(hit & (fm == _FM["INPUT16"]), seg.reshape(xq.shape), xq)
+        # WEIGHT: one int bit flip in the weight tensor
+        wq = jnp.where(
+            hit & (fm == _FM["WEIGHT"]),
+            _apply_elem(wq, fault["element"], lambda v: _flip_bit_traced(v, fault["bit"], kind)),
+            wq,
+        )
+        # WEIGHT16: column fault down `width` rows of one out-channel
+        rpos = jax.lax.broadcasted_iota(jnp.int32, wq.shape, 0)
+        cpos = jax.lax.broadcasted_iota(jnp.int32, wq.shape, 1)
+        wmask = (rpos >= fault["row"]) & (rpos < fault["row"] + width) & (cpos == fault["col"])
+        wseg = jnp.where(wmask, _flip_bit_traced(wq, fault["bit"], kind), wq)
+        wq = jnp.where(hit & (fm == _FM["WEIGHT16"]), wseg, wq)
+
+        lead = xq.shape[:-1]
+        y32 = jax.lax.dot_general(
+            xq.reshape(-1, xq.shape[-1]), wq,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        y = y32.astype(jnp.float32) * (sx.reshape(-1, 1) * p["sw"][None, :])
+        y = (y + p["b"]).reshape(*lead, -1)
+
+        # output-domain faults
+        y = jnp.where(
+            hit & (fm == _FM["RANDOM"]),
+            B.set_random_value(y, fault["rng"]),
+            y,
+        )
+        y = jnp.where(
+            hit & (fm == _FM["RANDOM_BITFLIP"]),
+            _apply_elem(y, fault["element"], lambda v: _flip_f32_traced(v, fault["bit"])),
+            y,
+        )
+        y = L.tap(f"{name}.out", y, taps, inject)
+        if is_quantized_output(name):
+            y = Q.fake_quant_act_per_token(y, bits)
+        return y
+
+    return lin
+
+
+@partial(jax.jit, static_argnums=(0, 1, 5, 8))
+def faulty_greedy_decode(
+    model: Transformer,
+    payload_keys: tuple,     # static: sorted payload names (for cache keying)
+    params,
+    payloads,
+    fault,
+    max_len: int,
+    src,
+    src_mask,
+    bits: int = 8,
+):
+    """One compiled program: greedy decode with the parameterised fault.
+
+    Encoder-target faults fire during encode; decoder-target faults fire at
+    decode step ``fault['step']``.  ``fault['enabled']`` False == golden run.
+    """
+    ids = {name: i for i, name in enumerate(sorted(payload_keys))}
+    enc_active = fault["enabled"] & fault["is_encoder"]
+
+    lin_enc = make_fault_linear_impl(payloads, ids, fault, enc_active, bits)
+    memory = model.encode(params, src, src_mask, lin=lin_enc)
+    cache = model.init_cache(params, memory, max_len, lin=make_fault_linear_impl(
+        payloads, ids, fault, jnp.bool_(False), bits))
+
+    cfg = model.cfg
+    b = src.shape[0]
+    ys = jnp.full((b, max_len), cfg.pad_id, dtype=jnp.int32)
+    ys = ys.at[:, 0].set(cfg.bos_id)
+    finished = jnp.zeros((b,), bool)
+
+    def step(carry, i):
+        cache, ys, finished, last = carry
+        dec_active = fault["enabled"] & (~fault["is_encoder"]) & (i == fault["step"])
+        lin_i = make_fault_linear_impl(payloads, ids, fault, dec_active, bits)
+        logp, cache = model.decode_step(params, cache, last[:, None], i, src_mask, lin=lin_i)
+        nxt = jnp.argmax(logp, -1).astype(jnp.int32)
+        nxt = jnp.where(finished, cfg.pad_id, nxt)
+        finished = finished | (nxt == cfg.eos_id)
+        ys = ys.at[:, i + 1].set(nxt)
+        return (cache, ys, finished, nxt), None
+
+    (cache, ys, finished, _), _ = jax.lax.scan(
+        step, (cache, ys, finished, ys[:, 0]), jnp.arange(max_len - 1)
+    )
+    return ys
+
+
+def _fault_tree(spec: Optional[FaultSpec], ids: dict[str, int]) -> dict:
+    if spec is None:
+        zero = {
+            "target": jnp.int32(0), "model": jnp.int32(0), "bit": jnp.int32(0),
+            "element": jnp.int32(0), "row": jnp.int32(0), "col": jnp.int32(0),
+            "rng": jax.random.key(0),
+        }
+        return {**zero, "enabled": jnp.bool_(False), "is_encoder": jnp.bool_(False),
+                "step": jnp.int32(0)}
+    t = spec.scalars(ids)
+    return {**t, "enabled": jnp.bool_(True),
+            "is_encoder": jnp.bool_(spec.target.startswith("encoder")),
+            "step": jnp.int32(spec.inject_step)}
+
+
+@dataclass
+class CampaignResult:
+    rows: list = field(default_factory=list)  # dicts: layer, golden/faulty bleu, ...
+
+
+def run_campaign(
+    model: Transformer,
+    params,
+    payloads: dict,
+    specs: Sequence[FaultSpec],
+    src: np.ndarray,
+    src_mask: np.ndarray,
+    references: Sequence[Sequence[str]],   # BPE token refs per sentence
+    vocab_tgt,
+    max_len: int = 72,
+    bits: int = 8,
+    csv_path: Optional[str] = None,
+    log_fn=None,
+) -> CampaignResult:
+    """Golden decode once, then one faulty decode per spec — all through the
+    same compiled executable.  Writes the reference-compatible CSV schema
+    (layer, golden_bleu, faulty_bleu, bit, fault_model;
+    results_fault_injection/results.csv)."""
+    from onnx_transformer_tpu.evaluation.bleu import sentence_bleu
+    from onnx_transformer_tpu.serving.decode import ids_to_tokens
+
+    ids = {name: i for i, name in enumerate(sorted(payloads))}
+    keys = tuple(sorted(payloads))
+    src = jnp.asarray(src)
+    src_mask = jnp.asarray(src_mask)
+
+    golden = np.array(
+        faulty_greedy_decode(model, keys, params, payloads,
+                             _fault_tree(None, ids), max_len, src, src_mask, bits)
+    )
+    golden_toks = ids_to_tokens(golden, vocab_tgt)
+    golden_bleus = [
+        sentence_bleu([list(r)], h, smoothing="method4")
+        for r, h in zip(references, golden_toks)
+    ]
+
+    result = CampaignResult()
+    writer = None
+    if csv_path:
+        os.makedirs(os.path.dirname(os.path.abspath(csv_path)), exist_ok=True)
+        f = open(csv_path, "w", newline="")
+        writer = csv.writer(f)
+        writer.writerow(["layer", "golden_bleu", "faulty_bleu", "bit", "fault_model"])
+
+    for spec in specs:
+        faulty = np.array(
+            faulty_greedy_decode(model, keys, params, payloads,
+                                 _fault_tree(spec, ids), max_len, src, src_mask, bits)
+        )
+        faulty_toks = ids_to_tokens(faulty, vocab_tgt)
+        for gi, (r, h) in enumerate(zip(references, faulty_toks)):
+            fb = sentence_bleu([list(r)], h, smoothing="method4")
+            row = {
+                "layer": spec.target,
+                "golden_bleu": golden_bleus[gi],
+                "faulty_bleu": fb,
+                "bit": spec.bit,
+                "fault_model": spec.fault_model,
+                "tokens_changed": B.count_mismatches(golden[gi], faulty[gi]),
+            }
+            result.rows.append(row)
+            if writer:
+                writer.writerow([row["layer"], row["golden_bleu"], row["faulty_bleu"],
+                                 row["bit"], row["fault_model"]])
+        if log_fn:
+            log_fn(f"{spec.target} {spec.fault_model} bit={spec.bit} done")
+
+    if writer:
+        f.close()
+    return result

@@ -49,6 +49,11 @@ class TransformerConfig:
     bos_id: int = 0
     eos_id: int = 1
     dtype: Any = jnp.float32
+    # Compile the layer stack as one lax.scan over stacked params instead of
+    # unrolling N layers (~N x smaller XLA graph, much faster compiles).
+    # Taps/injection/KV-cache paths need per-layer names and stay unrolled;
+    # encode/decode fall back automatically when those are in play.
+    scan_layers: bool = False
 
     def with_(self, **kw) -> "TransformerConfig":
         return replace(self, **kw)
@@ -226,6 +231,52 @@ class Transformer:
         y = fn(L.layer_norm(x, ln_p["scale"], ln_p["bias"]))
         return x + L.dropout(y, self.cfg.dropout, rngs.next() if rngs else None, train)
 
+    # ------------------------------------------------------- scanned layers
+
+    @staticmethod
+    def _stack_layers(layers: list) -> Any:
+        """List of per-layer param dicts -> one dict with a leading layer dim."""
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+
+    def _encoder_layer(self, lp, x, mask, rngs, train, taps, inject, lin, nm):
+        x = self._sublayer(
+            x, lp["ln0"],
+            lambda h: self._mha(lp["self_attn"], f"{nm}.self_attn", h, h, h,
+                                mask, rngs, train, taps, inject, lin),
+            rngs, train,
+        )
+        return self._sublayer(
+            x, lp["ln1"],
+            lambda h: self._ffn(lp["ffn"], f"{nm}.feed_forward", h, rngs, train, taps, inject, lin),
+            rngs, train,
+        )
+
+    def _decoder_layer(self, lp, x, memory, tmask, smask, rngs, train, taps,
+                       inject, lin, nm, layer_cache=None, cache_index=None,
+                       kv_cross=None):
+        x = self._sublayer(
+            x, lp["ln0"],
+            lambda h: self._mha(lp["self_attn"], f"{nm}.self_attn", h, h, h,
+                                tmask, rngs, train, taps, inject, lin,
+                                self_cache=layer_cache, cache_index=cache_index),
+            rngs, train,
+        )
+        x = self._sublayer(
+            x, lp["ln1"],
+            lambda h: self._mha(lp["src_attn"], f"{nm}.src_attn", h, memory, memory,
+                                smask, rngs, train, taps, inject, lin,
+                                kv_precomputed=kv_cross),
+            rngs, train,
+        )
+        return self._sublayer(
+            x, lp["ln2"],
+            lambda h: self._ffn(lp["ffn"], f"{nm}.feed_forward", h, rngs, train, taps, inject, lin),
+            rngs, train,
+        )
+
+    def _use_scan(self, taps, inject, cache) -> bool:
+        return self.cfg.scan_layers and taps is None and inject is None and cache is None
+
     # ----------------------------------------------------------------- encode
 
     def encode(
@@ -242,6 +293,21 @@ class Transformer:
         rngs = _RngSource(rng)
         x = self.embed_src(params, src, rngs, train)
         mask = src_mask[:, None, :, :] if src_mask is not None else None
+        if self._use_scan(taps, inject, None):
+            stacked = self._stack_layers(params["encoder"]["layers"])
+            n = self.cfg.num_layers
+            keys = (jax.random.split(rngs.next(), n) if rng is not None
+                    else jnp.zeros((n, 2), jnp.uint32))
+
+            def body(h, lp_key):
+                lp, key = lp_key
+                lrngs = _RngSource(key if rng is not None else None)
+                return self._encoder_layer(lp, h, mask, lrngs, train, None, None,
+                                           lin, "encoder.layers.s"), None
+
+            x, _ = jax.lax.scan(body, x, (stacked, keys))
+            ln_f = params["encoder"]["ln"]
+            return L.layer_norm(x, ln_f["scale"], ln_f["bias"])
         for i, lp in enumerate(params["encoder"]["layers"]):
             nm = f"encoder.layers.{i}"
             x = self._sublayer(
@@ -288,6 +354,22 @@ class Transformer:
         x = self.embed_tgt(params, tgt_in, offset, rngs, train)
         tmask = tgt_mask[:, None, :, :] if tgt_mask is not None else None
         smask = src_mask[:, None, :, :] if src_mask is not None else None
+        if self._use_scan(taps, inject, cache):
+            stacked = self._stack_layers(params["decoder"]["layers"])
+            n = self.cfg.num_layers
+            keys = (jax.random.split(rngs.next(), n) if rng is not None
+                    else jnp.zeros((n, 2), jnp.uint32))
+
+            def body(h, lp_key):
+                lp, key = lp_key
+                lrngs = _RngSource(key if rng is not None else None)
+                return self._decoder_layer(lp, h, memory, tmask, smask, lrngs,
+                                           train, None, None, lin,
+                                           "decoder.layers.s"), None
+
+            x, _ = jax.lax.scan(body, x, (stacked, keys))
+            ln_f = params["decoder"]["ln"]
+            return L.layer_norm(x, ln_f["scale"], ln_f["bias"])
         for i, lp in enumerate(params["decoder"]["layers"]):
             nm = f"decoder.layers.{i}"
             layer_cache = cache["layers"][i] if cache is not None else None

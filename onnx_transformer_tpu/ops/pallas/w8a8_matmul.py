@@ -1,0 +1,156 @@
+"""Fused W8A8 matmul Pallas kernel: int8 x int8 -> int32 MXU accumulate with
+a fused dequant epilogue (sx * sw scale + bias).
+
+This is the hot op of the quantized model (SURVEY.md §7 step 5): the
+reference runs fp32 fake-quant matmuls through torch/ONNX Runtime
+(``quant_linear.py:111-119``); here the MXU consumes real int8 operands and
+the epilogue applies per-token and per-channel scales in-register before a
+single fp32 store — no intermediate int32 or dequantized fp tensor ever
+touches HBM.
+
+Two entry points:
+- ``w8a8_matmul(xq, sx, wq, sw, b)``: pre-quantized activations (used when
+  int-domain taps/injection are active).
+- ``quant_w8a8_matmul(x, wq, sw, b)``: fp activations; per-token absmax
+  quantization fused into the same kernel (clean serving path: one HBM read
+  of x, one MXU pass, one fp32 write).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from onnx_transformer_tpu.quant.core import SCALE_FLOOR
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _pad_to(x, m: int, axis: int):
+    pad = (-x.shape[axis]) % m
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def _w8a8_kernel(x_ref, sx_ref, w_ref, sw_ref, b_ref, o_ref):
+    acc = jax.lax.dot_general(
+        x_ref[:], w_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    o_ref[:] = acc.astype(jnp.float32) * (sx_ref[:] * sw_ref[:]) + b_ref[:]
+
+
+@partial(jax.jit, static_argnames=("block_m", "block_n", "interpret"))
+def w8a8_matmul(
+    xq: jax.Array,   # int8 [..., K]
+    sx: jax.Array,   # f32  [...]   per-token scales
+    wq: jax.Array,   # int8 [K, N]
+    sw: jax.Array,   # f32  [N]     per-out-channel scales
+    b: jax.Array | None = None,  # f32 [N]
+    block_m: int = 256,
+    block_n: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """-> f32 [..., N] = (xq int8 @ wq int8) * sx[:,None] * sw[None,:] + b."""
+    lead = xq.shape[:-1]
+    k = xq.shape[-1]
+    n = wq.shape[-1]
+    x2 = xq.reshape(-1, k)
+    s2 = sx.reshape(-1, 1).astype(jnp.float32)
+    m = x2.shape[0]
+    bm = min(block_m, max(32, 1 << (m - 1).bit_length()))
+    bn = min(block_n, n)
+    x2 = _pad_to(x2, bm, 0)
+    s2 = _pad_to(s2, bm, 0)
+    mp = x2.shape[0]
+    if b is None:
+        b = jnp.zeros((n,), jnp.float32)
+
+    out = pl.pallas_call(
+        _w8a8_kernel,
+        grid=(mp // bm, n // bn),
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, n), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * n * k,
+            bytes_accessed=mp * k + k * n + mp * n * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x2, s2, wq, sw.reshape(1, n).astype(jnp.float32), b.reshape(1, n).astype(jnp.float32))
+    return out[:m].reshape(*lead, n)
+
+
+def _quant_w8a8_kernel(x_ref, w_ref, sw_ref, b_ref, o_ref):
+    x = x_ref[:]
+    absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    sx = jnp.clip(absmax, SCALE_FLOOR, None) / 127.0
+    xq = jnp.round(x / sx).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, w_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    o_ref[:] = acc.astype(jnp.float32) * (sx * sw_ref[:]) + b_ref[:]
+
+
+@partial(jax.jit, static_argnames=("block_m", "block_n", "interpret"))
+def quant_w8a8_matmul(
+    x: jax.Array,    # f32 [..., K]
+    wq: jax.Array,   # int8 [K, N]
+    sw: jax.Array,   # f32 [N]
+    b: jax.Array | None = None,
+    block_m: int = 256,
+    block_n: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused per-token quantize + int8 matmul + dequant epilogue."""
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    n = wq.shape[-1]
+    x2 = x.reshape(-1, k).astype(jnp.float32)
+    m = x2.shape[0]
+    bm = min(block_m, max(8, 1 << (m - 1).bit_length()))
+    bn = min(block_n, n)
+    x2 = _pad_to(x2, bm, 0)
+    mp = x2.shape[0]
+    if b is None:
+        b = jnp.zeros((n,), jnp.float32)
+
+    out = pl.pallas_call(
+        _quant_w8a8_kernel,
+        grid=(mp // bm, n // bn),
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, n), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * n * k,
+            bytes_accessed=mp * k * 4 + k * n + mp * n * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x2, wq, sw.reshape(1, n).astype(jnp.float32), b.reshape(1, n).astype(jnp.float32))
+    return out[:m].reshape(*lead, n)

@@ -1,0 +1,86 @@
+"""SmoothQuant scale migration as a pure param-tree transform.
+
+Reference: ``get_quantized_model.py:10-36`` (``smooth_ln_fcs``) applied by
+``smooth_lm:46-148`` to three patterns per layer:
+- encoder layer:      ln0 <-> [q,k,v] (key ``...self_attn.linears.0``),
+                      ln1 <-> ffn.w1 (key ``...feed_forward.w_1``)
+- decoder self-attn:  ln0 <-> [q,k,v] (key ``...self_attn.linears.0``)
+- decoder cross-attn: ln1 <-> [q,k,v] (key ``...src_attn.linears.0``),
+                      ln2 <-> ffn.w1
+
+Math (alpha = 0.5): s_j = clamp(act_j^a / w_j^(1-a), 1e-5) where
+w_j = clamp(max_fc max_out |W[out, j]|, 1e-5); then LN scale/bias /= s and
+each fc weight's in-features *= s.  The fused function LN->linear is
+unchanged; quantization error moves from activations into weights.
+
+Note: the reference migrates into the *cross*-attention q/k/v weights even
+though k/v there consume encoder memory, not the ln1 output — we reproduce
+that faithfully (it only changes where rounding error lands).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from onnx_transformer_tpu.quant.core import SCALE_FLOOR
+
+
+def smooth_ln_fcs(ln: dict, fcs: list[dict], act_scales: jax.Array, alpha: float = 0.5):
+    """Return (new_ln, new_fcs). fc weights stored (in, out)."""
+    act_scales = jnp.asarray(act_scales, jnp.float32)
+    weight_scales = jnp.stack(
+        [jnp.max(jnp.abs(jnp.asarray(fc["w"])), axis=1) for fc in fcs]  # [in] each
+    )
+    weight_scales = jnp.clip(jnp.max(weight_scales, axis=0), SCALE_FLOOR, None)
+    scales = jnp.clip(
+        act_scales**alpha / weight_scales ** (1 - alpha), SCALE_FLOOR, None
+    )
+    new_ln = {
+        "scale": jnp.asarray(ln["scale"]) / scales,
+        "bias": jnp.asarray(ln["bias"]) / scales,
+    }
+    new_fcs = [
+        {"w": jnp.asarray(fc["w"]) * scales[:, None], "b": jnp.asarray(fc["b"])}
+        for fc in fcs
+    ]
+    return new_ln, new_fcs
+
+
+def smooth_params(params: dict, act_scales: Mapping[str, np.ndarray], alpha: float = 0.5) -> dict:
+    """Apply SmoothQuant migration to a Transformer param tree, returning a
+    new tree (input untouched)."""
+    params = jax.tree.map(lambda x: x, params)  # shallow-ish copy via rebuild
+
+    def apply(ln, attn_or_ffn, fc_keys, scale_key):
+        fcs = [attn_or_ffn[k] for k in fc_keys]
+        new_ln, new_fcs = smooth_ln_fcs(ln, fcs, act_scales[scale_key], alpha)
+        for k, fc in zip(fc_keys, new_fcs):
+            attn_or_ffn[k] = fc
+        return new_ln
+
+    for i, lp in enumerate(params["encoder"]["layers"]):
+        nm = f"encoder.layers.{i}"
+        lp["ln0"] = apply(lp["ln0"], lp["self_attn"], ["q", "k", "v"],
+                          f"{nm}.self_attn.linears.0")
+        lp["ln1"] = apply(lp["ln1"], lp["ffn"], ["w1"], f"{nm}.feed_forward.w_1")
+
+    for i, lp in enumerate(params["decoder"]["layers"]):
+        nm = f"decoder.layers.{i}"
+        lp["ln0"] = apply(lp["ln0"], lp["self_attn"], ["q", "k", "v"],
+                          f"{nm}.self_attn.linears.0")
+        lp["ln1"] = apply(lp["ln1"], lp["src_attn"], ["q", "k", "v"],
+                          f"{nm}.src_attn.linears.0")
+        lp["ln2"] = apply(lp["ln2"], lp["ffn"], ["w1"], f"{nm}.feed_forward.w_1")
+
+    return params
+
+
+def load_reference_scales(path: str) -> dict[str, np.ndarray]:
+    """Load a scales artifact (.npz, converted from the reference's
+    ``scales/transformer_scales.pt`` — 96 per-channel absmax tensors)."""
+    with np.load(path) as z:
+        return {k: z[k] for k in z.files}

@@ -1,0 +1,153 @@
+"""W8A8 quantized linears: real-int8 storage + pluggable kernels.
+
+Capability parity with the reference's ``W8A8Linear`` (``quant_linear.py:56-149``)
+and model surgery (``get_quantized_model.py:150-172``):
+
+- per-out-channel absmax int8 weights, per-token absmax int8 activations;
+- the 4 attention projections and both FFN linears of every layer are
+  quantized; q/k/v (bmm inputs) additionally re-quantize their *outputs*
+  (``quantize_bmm_input=True``);
+- the generator and embeddings stay fp, as in the reference.
+
+Unlike the reference — which stores fp weights and fake-quantizes both
+operands every forward, then runs an fp32 matmul — weights are quantized
+once to real int8 and the matmul runs int8 x int8 -> int32 on the MXU with
+a fused (sx * sw) scale epilogue.  ``mode="fake"`` reproduces the
+reference's fp arithmetic exactly for parity tests.
+
+Injection seams: the int8 operands are tapped as ``<name>.x_q`` / available
+as ``<name>.w_q`` payloads, so bit-level faults hit the *integer* domain
+pre-dequant — the same injection point as the reference's
+DequantizeLinear-input flips (``inject_utils/layers.py:87-142``) — without
+de-fusing the kernel.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Literal, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from onnx_transformer_tpu.models.transformer import Transformer, default_linear
+from onnx_transformer_tpu.ops import layers as L
+from onnx_transformer_tpu.quant import core as Q
+
+Mode = Literal["int8", "fake", "pallas"]
+
+
+def quantized_linear_names(num_layers: int) -> dict[str, bool]:
+    """name -> quantize_output flag (True for q/k/v bmm inputs,
+    get_quantized_model.py:160-170)."""
+    out: dict[str, bool] = {}
+    for i in range(num_layers):
+        for j in range(4):
+            out[f"encoder.layers.{i}.self_attn.linears.{j}"] = j < 3
+        out[f"encoder.layers.{i}.feed_forward.w_1"] = False
+        out[f"encoder.layers.{i}.feed_forward.w_2"] = False
+    for i in range(num_layers):
+        for att in ("self_attn", "src_attn"):
+            for j in range(4):
+                out[f"decoder.layers.{i}.{att}.linears.{j}"] = j < 3
+        out[f"decoder.layers.{i}.feed_forward.w_1"] = False
+        out[f"decoder.layers.{i}.feed_forward.w_2"] = False
+    return out
+
+
+def _param_leaf(params: dict, name: str) -> dict:
+    """Resolve a reference-style linear name to its param dict."""
+    parts = name.split(".")
+    stack, idx = parts[0], int(parts[2])
+    lp = params[stack]["layers"][idx]
+    if parts[3] in ("self_attn", "src_attn"):
+        key = {"0": "q", "1": "k", "2": "v", "3": "o"}[parts[5]]
+        return lp[parts[3]][key]
+    assert parts[3] == "feed_forward"
+    return lp["ffn"]["w1" if parts[4] == "w_1" else "w2"]
+
+
+def is_quantized_output(name: str) -> bool:
+    """Static predicate: q/k/v projections re-quantize their output
+    (quantize_bmm_input=True, get_quantized_model.py:160-170).  Kept out of
+    the payload dict so payloads stay an arrays-only pytree (jit-safe)."""
+    return ".linears." in name and name.rsplit(".", 1)[-1] in ("0", "1", "2")
+
+
+def quantize_model_params(model: Transformer, params: dict, bits: int = 8) -> dict:
+    """Build the quantized-weight payload dict (arrays only, jit-safe):
+    name -> {wq int8 [in,out], sw f32 [out], b f32 [out]}."""
+    payloads = {}
+    for name in quantized_linear_names(model.cfg.num_layers):
+        leaf = _param_leaf(params, name)
+        wq, sw = Q.quantize_weight_per_channel(jnp.asarray(leaf["w"], jnp.float32), bits)
+        payloads[name] = {
+            "wq": wq,
+            "sw": sw,
+            "b": jnp.asarray(leaf["b"], jnp.float32),
+        }
+    return payloads
+
+
+def make_w8a8_linear_impl(
+    payloads: dict,
+    mode: Mode = "int8",
+    bits: int = 8,
+) -> Callable:
+    """LinearImpl drop-in for Transformer(..., lin=...) — the TPU-native
+    equivalent of swapping nn.Linear -> W8A8Linear."""
+    if mode == "pallas":
+        from onnx_transformer_tpu.ops.pallas.w8a8_matmul import w8a8_matmul
+
+    def lin(name: str, x, w, b, taps=None, inject=None):
+        p = payloads.get(name)
+        if p is None:
+            return default_linear(name, x, w, b, taps, inject)
+        x = L.tap(name, x, taps, inject)  # calibration-compatible input tap
+        sx = Q.act_scale_per_token(x, bits)
+        xq = Q.quantize(x, sx, bits)
+        xq = L.tap(f"{name}.x_q", xq, taps, inject)
+        wq = L.tap(f"{name}.w_q", p["wq"], taps, inject)
+        if mode == "fake":
+            # reference arithmetic: fp32 matmul of dequantized operands
+            y = jnp.dot(Q.dequantize(xq, sx), Q.dequantize(wq, p["sw"][None, :]),
+                        preferred_element_type=jnp.float32)
+            y = y + p["b"]
+        elif mode == "pallas":
+            y = w8a8_matmul(xq, sx[..., 0], wq, p["sw"], p["b"])
+        else:
+            lead = xq.shape[:-1]
+            y32 = jax.lax.dot_general(
+                xq.reshape(-1, xq.shape[-1]), wq,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            y = y32.astype(jnp.float32) * (sx.reshape(-1, 1) * p["sw"][None, :])
+            y = (y + p["b"]).reshape(*lead, -1)
+        y = L.tap(f"{name}.out", y, taps, inject)
+        if is_quantized_output(name):
+            y = Q.fake_quant_act_per_token(y, bits)
+            y = L.tap(f"{name}.out_q", y, taps, inject)
+        return y
+
+    return lin
+
+
+def quantize_transformer(
+    model: Transformer,
+    params: dict,
+    act_scales: Optional[dict] = None,
+    alpha: float = 0.5,
+    mode: Mode = "int8",
+    bits: int = 8,
+):
+    """Full PTQ pipeline (get_quantized_model.get_quantized:174-178):
+    SmoothQuant-migrate with calibrated scales, then quantize.  Returns
+    (smoothed_params, linear_impl) — run any model method with
+    ``lin=linear_impl`` and the smoothed params."""
+    from onnx_transformer_tpu.quant.smoothquant import smooth_params
+
+    if act_scales is not None:
+        params = smooth_params(params, act_scales, alpha)
+    payloads = quantize_model_params(model, params, bits)
+    return params, make_w8a8_linear_impl(payloads, mode, bits)

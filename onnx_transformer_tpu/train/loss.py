@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def smoothed_true_dist(
@@ -36,11 +37,30 @@ def label_smoothing_loss(
     smoothing: float = 0.1,
 ) -> jax.Array:
     """Sum KLDiv(true_dist || exp(log_probs)) = Σ p (log p − log q), with
-    0·log 0 := 0 — torch KLDivLoss(size_average=False) semantics."""
+    0·log 0 := 0 — torch KLDivLoss(size_average=False) semantics.
+
+    Computed in closed form per row rather than materialising the [N, V]
+    true-dist.  Besides skipping a scatter and an N*V temp, this matters for
+    *accuracy*: a flat f32 reduction over N*V tiny fill-mass terms underflows
+    against the running sum on TPU (observed: init loss 5.85 instead of 7.31
+    at N*V ≈ 40M), whereas the per-row sums here stay well inside f32 range.
+
+      KL_row = [c·log c + (V-2)·f·log f]                       (Σ p log p)
+             − [c·log q(t) + f·(Σ_j log q_j − log q(t) − log q(pad))]
+      with c = 1 − smoothing, f = smoothing / (V - 2);
+      rows whose target is pad contribute 0 (label_smoothing.py:23-26).
+    """
     v = log_probs.shape[-1]
-    true_dist = smoothed_true_dist(targets, v, pad_id, smoothing)
-    plogp = jnp.where(true_dist > 0, true_dist * jnp.log(jnp.where(true_dist > 0, true_dist, 1.0)), 0.0)
-    return jnp.sum(plogp - true_dist * log_probs)
+    confidence = 1.0 - smoothing
+    fill = smoothing / (v - 2)
+    # entropy term Σ p log p (constant per non-pad row)
+    plogp = confidence * np.log(confidence) + (v - 2) * fill * np.log(fill)
+    logq_t = jnp.take_along_axis(log_probs, targets[:, None], axis=-1)[:, 0]
+    logq_sum = jnp.sum(log_probs, axis=-1)
+    logq_pad = log_probs[:, pad_id]
+    cross = confidence * logq_t + fill * (logq_sum - logq_t - logq_pad)
+    kl_row = plogp - cross
+    return jnp.sum(jnp.where(targets == pad_id, 0.0, kl_row))
 
 
 def loss_and_ntokens(

@@ -115,3 +115,27 @@ def test_padding_invariance_of_encoding(small):
     np.testing.assert_allclose(
         np.array(mem1[0, :-2]), np.array(mem2[0, :-2]), atol=2e-5
     )
+
+
+def test_scan_layers_parity(small):
+    """Scanned layer stack must match the unrolled path exactly (same math,
+    ~6x smaller XLA graph)."""
+    m, params = small
+    src, tgt_in, sm, tm = _batch()
+    h_unrolled = m.forward(params, src, tgt_in, sm, tm)
+    m_scan = Transformer(m.cfg.with_(scan_layers=True))
+    h_scan = m_scan.forward(params, src, tgt_in, sm, tm)
+    np.testing.assert_allclose(np.array(h_scan), np.array(h_unrolled), rtol=2e-5, atol=2e-5)
+    # taps force the unrolled fallback and still work
+    taps = {}
+    h_tap = m_scan.forward(params, src, tgt_in, sm, tm, taps=taps)
+    assert len(taps) > 0
+    np.testing.assert_allclose(np.array(h_tap), np.array(h_unrolled), rtol=2e-5, atol=2e-5)
+
+
+def test_scan_layers_train_mode_runs(small):
+    m, params = small
+    src, tgt_in, sm, tm = _batch()
+    m_scan = Transformer(m.cfg.with_(scan_layers=True))
+    h = m_scan.forward(params, src, tgt_in, sm, tm, rng=jax.random.key(0), train=True)
+    assert np.isfinite(np.array(h)).all()
