@@ -102,8 +102,18 @@ def dropout(x: jax.Array, rate: float, rng: Optional[jax.Array], train: bool):
 
 def quantize_probs(p: jax.Array) -> jax.Array:
     """The reference's inline attention-prob quantization to the 1/127 grid
-    (attention.py:33-35)."""
-    return jnp.round(p * 127.0) / 127.0
+    (attention.py:33-35).
+
+    Forward matches the reference exactly; the backward deliberately does
+    NOT: torch's in-place ``round_()`` there has zero gradient, so the
+    reference trains its q/k projections with no gradient signal through the
+    attention probabilities at all.  We use a straight-through estimator so
+    QAT/FP32 training behaves like a real transformer while eval outputs
+    stay bit-identical to the reference's quantized forward.
+    """
+    from onnx_transformer_tpu.quant.core import ste_round
+
+    return ste_round(p * 127.0) / 127.0
 
 
 def split_heads(x: jax.Array, num_heads: int) -> jax.Array:

@@ -1,0 +1,203 @@
+"""Continuous-batching translation engine.
+
+The reference serves strictly batch-1, re-executing the decoder graph per
+token (``onnx_optimized_custom_inference.py:624-671``).  This engine keeps a
+fixed pool of decode *slots* resident on device:
+
+- each slot owns rows of the KV cache, a position counter, and a live flag;
+- new requests are admitted into free slots via a jitted per-slot prefill
+  (encoder + cross-K/V projection written at the slot index);
+- decoding advances all live slots together in jitted *chunks* of steps
+  (``lax.scan``), so host<->device round-trips are amortised — important
+  here because the TPU tunnel adds per-call latency;
+- finished slots are harvested and refilled without stopping the others —
+  continuous batching, not static batching.
+
+The per-slot decode reuses ``Transformer.decode_step`` under ``jax.vmap``:
+each slot is a batch-1 decode with its own cache/position/mask, and vmap
+fuses them into the same batched MXU matmuls a static batch would use.
+"""
+
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from onnx_transformer_tpu.models.transformer import Transformer, default_linear
+from onnx_transformer_tpu.ops import layers as L
+
+
+@dataclass
+class Request:
+    req_id: int
+    src_ids: np.ndarray            # [S] padded
+    out_tokens: list = field(default_factory=list)
+    done: bool = False
+
+
+class TranslationEngine:
+    def __init__(
+        self,
+        model: Transformer,
+        params,
+        lin: Callable = default_linear,
+        num_slots: int = 32,
+        src_len: int = 72,
+        max_len: int = 72,
+        chunk_steps: int = 16,
+    ):
+        self.model = model
+        self.params = params
+        self.lin = lin
+        self.B = num_slots
+        self.S = src_len
+        self.T = max_len
+        self.chunk = chunk_steps
+        cfg = model.cfg
+        self._ids = itertools.count()
+        self._queue: list[Request] = []
+        self._slots: list[Optional[Request]] = [None] * num_slots
+        self._state = None  # device state, lazily built
+
+        m = model
+
+        def prefill(params, state, src_row, slot):
+            """Encode one request and install it in `slot`."""
+            src = src_row[None, :]                      # [1, S]
+            src_mask = (src != cfg.pad_id)[:, None, :]
+            memory = m.encode(params, src, src_mask, lin=self.lin)
+            cache1 = m.init_cache(params, memory, self.T, lin=self.lin)
+            new_cache = jax.tree.map(
+                lambda big, one: big.at[slot].set(one), state["cache"], cache1
+            )
+            return {
+                "cache": new_cache,
+                "src_mask": state["src_mask"].at[slot].set(src_mask),
+                "tok": state["tok"].at[slot].set(cfg.bos_id),
+                "pos": state["pos"].at[slot].set(0),
+                "live": state["live"].at[slot].set(True),
+                "out": state["out"].at[slot].set(
+                    jnp.full((self.T,), cfg.pad_id, jnp.int32)
+                ),
+            }
+
+        def one_step(params, cache_row, tok, pos, smask_row):
+            logp, cache_row = m.decode_step(
+                params, cache_row, tok[None, None], pos, smask_row, lin=self.lin
+            )
+            return jnp.argmax(logp[0], -1).astype(jnp.int32), cache_row
+
+        def chunk_fn(params, state):
+            """Advance all live slots `chunk` steps on device."""
+
+            def body(st, k):
+                nxt, cache = jax.vmap(
+                    lambda c, t, p, sm: one_step(params, c, t, p, sm)
+                )(st["cache"], st["tok"], st["pos"], st["src_mask"])
+                live = st["live"]
+                nxt = jnp.where(live, nxt, cfg.pad_id)
+                # record at pos+1 (pos 0 is implicit BOS)
+                out = jax.vmap(
+                    lambda o, p, t, lv: jnp.where(lv, o.at[p + 1].set(t), o)
+                )(st["out"], st["pos"], nxt, live)
+                new_live = live & (nxt != cfg.eos_id) & (st["pos"] + 2 < self.T)
+                cache = jax.tree.map(
+                    lambda new, old: jnp.where(
+                        live.reshape((-1,) + (1,) * (new.ndim - 1)), new, old
+                    ),
+                    cache, st["cache"],
+                )
+                return {
+                    "cache": cache,
+                    "src_mask": st["src_mask"],
+                    "tok": jnp.where(live, nxt, st["tok"]),
+                    "pos": jnp.where(live, st["pos"] + 1, st["pos"]),
+                    "live": new_live,
+                    "out": out,
+                }, None
+
+            state, _ = jax.lax.scan(body, state, jnp.arange(self.chunk))
+            return state
+
+        self._prefill = jax.jit(prefill, donate_argnums=(1,))
+        self._chunk = jax.jit(chunk_fn, donate_argnums=(1,))
+
+    # ------------------------------------------------------------- host side
+
+    def _blank_state(self):
+        cfg = self.model.cfg
+        h = cfg.num_heads
+        dk = cfg.d_model // h
+        dt = cfg.dtype
+        layers = []
+        for _ in range(cfg.num_layers):
+            layers.append(
+                {
+                    "k": jnp.zeros((self.B, 1, h, self.T, dk), dt),
+                    "v": jnp.zeros((self.B, 1, h, self.T, dk), dt),
+                    "cross_k": jnp.zeros((self.B, 1, h, self.S, dk), dt),
+                    "cross_v": jnp.zeros((self.B, 1, h, self.S, dk), dt),
+                }
+            )
+        return {
+            "cache": {"layers": layers},
+            "src_mask": jnp.zeros((self.B, 1, 1, self.S), bool),
+            "tok": jnp.zeros((self.B,), jnp.int32),
+            "pos": jnp.zeros((self.B,), jnp.int32),
+            "live": jnp.zeros((self.B,), bool),
+            "out": jnp.full((self.B, self.T), self.model.cfg.pad_id, jnp.int32),
+        }
+
+    def submit(self, src_ids: np.ndarray) -> int:
+        """Queue one request (padded token ids [S]); returns request id."""
+        assert len(src_ids) == self.S, f"src must be padded to {self.S}"
+        req = Request(next(self._ids), np.asarray(src_ids, np.int32))
+        self._queue.append(req)
+        return req.req_id
+
+    def _admit(self):
+        for slot in range(self.B):
+            if self._slots[slot] is None and self._queue:
+                req = self._queue.pop(0)
+                self._state = self._prefill(
+                    self.params, self._state, jnp.asarray(req.src_ids), slot
+                )
+                self._slots[slot] = req
+
+    def _harvest(self) -> list[Request]:
+        live = np.array(self._state["live"])
+        out = None
+        finished = []
+        for slot in range(self.B):
+            req = self._slots[slot]
+            if req is not None and not live[slot]:
+                if out is None:
+                    out = np.array(self._state["out"])
+                row = out[slot]
+                toks = []
+                for t in row[1:]:
+                    if t == self.model.cfg.eos_id or t == self.model.cfg.pad_id:
+                        break
+                    toks.append(int(t))
+                req.out_tokens = toks
+                req.done = True
+                finished.append(req)
+                self._slots[slot] = None
+        return finished
+
+    def run(self) -> list[Request]:
+        """Process the queue to completion; returns finished requests."""
+        if self._state is None:
+            self._state = self._blank_state()
+        done: list[Request] = []
+        while self._queue or any(s is not None for s in self._slots):
+            self._admit()
+            self._state = self._chunk(self.params, self._state)
+            done.extend(self._harvest())
+        return done

@@ -1,0 +1,57 @@
+"""Export bundle tests: round-trip through serialized StableHLO graphs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from onnx_transformer_tpu.export.serialize import (
+    export_model, load_exported, load_manifest)
+from onnx_transformer_tpu.models.transformer import Transformer, TransformerConfig
+from onnx_transformer_tpu.ops import layers as L
+from onnx_transformer_tpu.serving import decode as D
+
+
+@pytest.fixture(scope="module")
+def small():
+    cfg = TransformerConfig(
+        src_vocab_size=31, tgt_vocab_size=29, num_layers=2, d_model=32,
+        d_ff=64, num_heads=4, dropout=0.0,
+    )
+    m = Transformer(cfg)
+    params = m.init(jax.random.key(3))
+    return m, params
+
+
+def test_export_roundtrip_matches_live_model(small, tmp_path):
+    m, params = small
+    out = str(tmp_path / "bundle")
+    export_model(m, params, out, batch_sizes=(2,), src_len=8, max_len=10)
+
+    man = load_manifest(out)
+    assert man["batch_buckets"] == [2]
+    assert man["config"]["num_layers"] == 2
+
+    rng = np.random.default_rng(0)
+    src = rng.integers(4, 31, (2, 8)).astype(np.int32)
+    sm = np.asarray(L.make_src_mask(jnp.asarray(src)))
+
+    enc = load_exported(out, "encoder_b2.shlo")
+    mem_exported = np.array(enc.call(params, src, sm))
+    mem_live = np.array(m.encode(params, jnp.asarray(src), jnp.asarray(sm)))
+    np.testing.assert_allclose(mem_exported, mem_live, rtol=1e-5, atol=1e-5)
+
+    g = load_exported(out, "greedy_b2.shlo")
+    ys_exported = np.array(g.call(params, src, sm))
+    ys_live = np.array(D.greedy_decode(m, params, jnp.asarray(src), jnp.asarray(sm), 10))
+    np.testing.assert_array_equal(ys_exported, ys_live)
+
+
+def test_export_params_manifest_loadable(small, tmp_path):
+    m, params = small
+    out = str(tmp_path / "bundle")
+    export_model(m, params, out, batch_sizes=(1,), src_len=6, max_len=8)
+    from onnx_transformer_tpu.train.checkpoint import restore
+    restored = restore(str(tmp_path / "bundle" / "params.npz"), params)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -262,3 +262,51 @@ def test_int_domain_injection_seam(small):
     clean = m.forward(params, src, tgt_in, sm, tm, lin=lin)
     faulty = m.forward(params, src, tgt_in, sm, tm, lin=lin, inject=inj)
     assert not np.allclose(np.array(clean), np.array(faulty))
+
+
+# ------------------------------------------------------------------- int4
+
+def test_w4a8_matches_fake_quant_reference(small):
+    from onnx_transformer_tpu.quant.int4 import (
+        make_w4a8_linear_impl, quantize_model_params_int4)
+    m, params = small
+    payloads = quantize_model_params_int4(m, params)
+    lin4 = make_w4a8_linear_impl(payloads)
+    name = "encoder.layers.0.feed_forward.w_1"
+    x = jnp.asarray(np.random.default_rng(13).normal(size=(2, 4, 32)).astype(np.float32))
+    got = np.array(lin4(name, x, None, None))
+    leaf = params["encoder"]["layers"][0]["ffn"]["w1"]
+    w = np.array(leaf["w"])
+    sw = np.maximum(np.abs(w).max(0), 1e-5) / 7
+    wq = np.clip(np.round(w / sw), -7, 7)
+    qx = np.array(Q.fake_quant_act_per_token(x))
+    want = qx @ (wq * sw) + np.array(leaf["b"])
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_qat_linear_impl_differentiable(small):
+    from onnx_transformer_tpu.quant.int4 import make_qat_linear_impl
+    m, params = small
+    lin = make_qat_linear_impl(w_bits=4, a_bits=8)
+    src, tgt_in, sm, tm = _batch()
+
+    def loss(p):
+        h = m.forward(p, src, tgt_in, sm, tm, lin=lin)
+        return jnp.sum(h ** 2)
+
+    g = jax.grad(loss)(params)
+    gw = np.array(g["encoder"]["layers"][0]["self_attn"]["q"]["w"])
+    assert np.isfinite(gw).all()
+    assert np.abs(gw).max() > 0  # STE passes gradients through round()
+
+
+def test_qat_then_deploy_int4_close(small):
+    """QAT fake-quant forward ~ deployed packed-int4 forward."""
+    from onnx_transformer_tpu.quant.int4 import (
+        make_qat_linear_impl, make_w4a8_linear_impl, quantize_model_params_int4)
+    m, params = small
+    src, tgt_in, sm, tm = _batch()
+    h_qat = m.forward(params, src, tgt_in, sm, tm, lin=make_qat_linear_impl())
+    payloads = quantize_model_params_int4(m, params)
+    h_dep = m.forward(params, src, tgt_in, sm, tm, lin=make_w4a8_linear_impl(payloads))
+    np.testing.assert_allclose(np.array(h_dep), np.array(h_qat), rtol=2e-2, atol=2e-2)
