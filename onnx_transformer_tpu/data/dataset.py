@@ -61,8 +61,17 @@ def collate(
     vocab_src: Vocab,
     vocab_tgt: Vocab,
     max_padding: int = 72,
+    native=None,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Pairs of raw BPE lines -> (src, tgt) int32 arrays [B, max_padding]."""
+    """Pairs of raw BPE lines -> (src, tgt) int32 arrays [B, max_padding].
+
+    ``native``: optional (NativeVocab, NativeVocab) pair — encodes the whole
+    batch in C++ (native/dataio.cpp) instead of per-sentence python."""
+    if native is not None:
+        nv_src, nv_tgt = native
+        src = nv_src.encode_batch([s for s, _ in batch], max_padding)
+        tgt = nv_tgt.encode_batch([t for _, t in batch], max_padding)
+        return src, tgt
     src = np.stack([encode_sentence(s, vocab_src, max_padding) for s, _ in batch])
     tgt = np.stack([encode_sentence(t, vocab_tgt, max_padding) for _, t in batch])
     return src, tgt
@@ -122,6 +131,7 @@ class BucketedLoader:
         seed: int = 0,
         num_shards: int = 1,
         shard_index: int = 0,
+        use_native: bool = True,
     ):
         self.pairs = list(pairs)
         self.vocab_src = vocab_src
@@ -137,6 +147,19 @@ class BucketedLoader:
         # DistributedSampler, distributed/iwslt14_train.py:334).
         self.num_shards = num_shards
         self.shard_index = shard_index
+        # C++ batch encoder (native/dataio.cpp) when buildable
+        self._native = None
+        if use_native:
+            try:
+                from onnx_transformer_tpu.data import native as N
+
+                if N.available():
+                    self._native = (
+                        N.NativeVocab(vocab_src.itos, vocab_src.default_index),
+                        N.NativeVocab(vocab_tgt.itos, vocab_tgt.default_index),
+                    )
+            except Exception:
+                self._native = None
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
@@ -178,6 +201,7 @@ class BucketedLoader:
                 self.vocab_src,
                 self.vocab_tgt,
                 self.max_padding,
+                native=self._native,
             )
             yield Batch.make(src, tgt)
 
