@@ -199,13 +199,39 @@ class Transformer:
         if kv_precomputed is not None:
             k, v = kv_precomputed
         else:
-            k = L.split_heads(lin(f"{name}.linears.1", k_in, p["k"]["w"], p["k"]["b"], taps, inject), h)
-            v = L.split_heads(lin(f"{name}.linears.2", v_in, p["v"]["w"], p["v"]["b"], taps, inject), h)
-        if self_cache is not None:
-            # write this step's k/v into the cache, attend over the prefix
-            k = jax.lax.dynamic_update_slice(self_cache["k"], k, (0, 0, cache_index, 0))
-            v = jax.lax.dynamic_update_slice(self_cache["v"], v, (0, 0, cache_index, 0))
-            self_cache["k"], self_cache["v"] = k, v
+            kfull = lin(f"{name}.linears.1", k_in, p["k"]["w"], p["k"]["b"], taps, inject)
+            vfull = lin(f"{name}.linears.2", v_in, p["v"]["w"], p["v"]["b"], taps, inject)
+            if self_cache is not None and "k_scale" in self_cache:
+                # int8 KV cache: per-token quantization over d_model.  For the
+                # W8A8 path this is lossless — k/v already sit on the int8
+                # grid after quantize_output fake-quant (quant_linear.py:111-119)
+                # and re-quantizing with the recomputed absmax scale is exact.
+                from onnx_transformer_tpu.quant.core import quantize_act_per_token
+
+                kq, ks = quantize_act_per_token(kfull)  # [B,1,D] int8, [B,1,1]
+                vq, vs = quantize_act_per_token(vfull)
+                cache_q_k = L.split_heads(kq, h)
+                cache_q_v = L.split_heads(vq, h)
+                self_cache["k"] = jax.lax.dynamic_update_slice(
+                    self_cache["k"], cache_q_k, (0, 0, cache_index, 0))
+                self_cache["v"] = jax.lax.dynamic_update_slice(
+                    self_cache["v"], cache_q_v, (0, 0, cache_index, 0))
+                self_cache["k_scale"] = jax.lax.dynamic_update_slice(
+                    self_cache["k_scale"], ks[:, :, 0][:, None, :], (0, cache_index, 0))
+                self_cache["v_scale"] = jax.lax.dynamic_update_slice(
+                    self_cache["v_scale"], vs[:, :, 0][:, None, :], (0, cache_index, 0))
+                # dequantize the full cache for attention (int8 HBM read;
+                # the convert+scale fuses into the attention einsum)
+                k = self_cache["k"].astype(jnp.float32) * self_cache["k_scale"][:, None, :, :]
+                v = self_cache["v"].astype(jnp.float32) * self_cache["v_scale"][:, None, :, :]
+            else:
+                k = L.split_heads(kfull, h)
+                v = L.split_heads(vfull, h)
+                if self_cache is not None:
+                    # write this step's k/v into the cache, attend over the prefix
+                    k = jax.lax.dynamic_update_slice(self_cache["k"], k, (0, 0, cache_index, 0))
+                    v = jax.lax.dynamic_update_slice(self_cache["v"], v, (0, 0, cache_index, 0))
+                    self_cache["k"], self_cache["v"] = k, v
         ctx = L.scaled_dot_attention(
             q, k, v, mask,
             quantize=cfg.quantize_attn_probs,
@@ -375,7 +401,14 @@ class Transformer:
             layer_cache = cache["layers"][i] if cache is not None else None
             kv_cross = None
             if cache is not None and "cross_k" in cache["layers"][i]:
-                kv_cross = (cache["layers"][i]["cross_k"], cache["layers"][i]["cross_v"])
+                lc = cache["layers"][i]
+                if "cross_k_scale" in lc:  # int8 cache: dequant fuses into attn
+                    kv_cross = (
+                        lc["cross_k"].astype(jnp.float32) * lc["cross_k_scale"][:, None, :, :],
+                        lc["cross_v"].astype(jnp.float32) * lc["cross_v_scale"][:, None, :, :],
+                    )
+                else:
+                    kv_cross = (lc["cross_k"], lc["cross_v"])
             x = self._sublayer(
                 x, lp["ln0"],
                 lambda h: self._mha(lp["self_attn"], f"{nm}.self_attn", h, h, h,
@@ -449,6 +482,7 @@ class Transformer:
         lin: LinearImpl = default_linear,
         taps: L.TapDict = None,
         inject: L.InjectDict = None,
+        cache_dtype: str = "fp32",
     ) -> dict:
         """Build the decode cache: empty self-attention K/V rings plus
         precomputed cross-attention projections of the encoder memory.
@@ -460,20 +494,37 @@ class Transformer:
         cfg = self.cfg
         b = memory.shape[0]
         h, dk = cfg.num_heads, cfg.d_model // cfg.num_heads
+        int8 = cache_dtype == "int8"
         layers = []
         for i, lp in enumerate(params["decoder"]["layers"]):
             nm = f"decoder.layers.{i}.src_attn"
             ap = lp["src_attn"]
-            ck = L.split_heads(lin(f"{nm}.linears.1", memory, ap["k"]["w"], ap["k"]["b"], taps, inject), h)
-            cv = L.split_heads(lin(f"{nm}.linears.2", memory, ap["v"]["w"], ap["v"]["b"], taps, inject), h)
-            layers.append(
-                {
-                    "k": jnp.zeros((b, h, max_len, dk), memory.dtype),
-                    "v": jnp.zeros((b, h, max_len, dk), memory.dtype),
-                    "cross_k": ck,
-                    "cross_v": cv,
-                }
-            )
+            ckf = lin(f"{nm}.linears.1", memory, ap["k"]["w"], ap["k"]["b"], taps, inject)
+            cvf = lin(f"{nm}.linears.2", memory, ap["v"]["w"], ap["v"]["b"], taps, inject)
+            entry = {}
+            if int8:
+                from onnx_transformer_tpu.quant.core import quantize_act_per_token
+
+                ckq, cks = quantize_act_per_token(ckf)
+                cvq, cvs = quantize_act_per_token(cvf)
+                entry.update(
+                    k=jnp.zeros((b, h, max_len, dk), jnp.int8),
+                    v=jnp.zeros((b, h, max_len, dk), jnp.int8),
+                    k_scale=jnp.zeros((b, max_len, 1), jnp.float32),
+                    v_scale=jnp.zeros((b, max_len, 1), jnp.float32),
+                    cross_k=L.split_heads(ckq, h),
+                    cross_v=L.split_heads(cvq, h),
+                    cross_k_scale=cks,  # [B, S, 1]
+                    cross_v_scale=cvs,
+                )
+            else:
+                entry.update(
+                    k=jnp.zeros((b, h, max_len, dk), memory.dtype),
+                    v=jnp.zeros((b, h, max_len, dk), memory.dtype),
+                    cross_k=L.split_heads(ckf, h),
+                    cross_v=L.split_heads(cvf, h),
+                )
+            layers.append(entry)
         return {"layers": layers}
 
     def decode_step(

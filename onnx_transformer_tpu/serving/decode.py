@@ -29,17 +29,20 @@ def greedy_decode(
     start_symbol: int = 0,
     lin=default_linear,
     stop_at_eos: bool = True,
+    kv_cache_dtype: str = "fp32",
 ) -> jax.Array:
     """Batched greedy decode -> token ids [B, max_len] (first column = BOS).
 
     With ``stop_at_eos`` rows emit PAD after their first EOS (the reference
     lacks this and keeps generating, ``batch_output.py:659-674``); set False
-    for exact reference-trajectory parity.
+    for exact reference-trajectory parity.  ``kv_cache_dtype="int8"`` stores
+    the KV cache quantized per token (lossless under the W8A8 linear impl,
+    4x less cache HBM traffic).
     """
     cfg = model.cfg
     b = src.shape[0]
     memory = model.encode(params, src, src_mask, lin=lin)
-    cache = model.init_cache(params, memory, max_len, lin=lin)
+    cache = model.init_cache(params, memory, max_len, lin=lin, cache_dtype=kv_cache_dtype)
     ys = jnp.full((b, max_len), cfg.pad_id, dtype=jnp.int32)
     ys = ys.at[:, 0].set(start_symbol)
     finished = jnp.zeros((b,), dtype=bool)
@@ -94,6 +97,7 @@ def beam_decode(
     start_symbol: int = 0,
     length_penalty: float = 0.6,
     lin=default_linear,
+    kv_cache_dtype: str = "fp32",
 ) -> jax.Array:
     """Batched beam search -> best hypothesis ids [B, max_len].
 
@@ -110,7 +114,7 @@ def beam_decode(
     # expand to beams: [B*K, ...]
     mem_k = jnp.repeat(memory, k, axis=0)
     mask_k = jnp.repeat(src_mask, k, axis=0)
-    cache = model.init_cache(params, mem_k, max_len, lin=lin)
+    cache = model.init_cache(params, mem_k, max_len, lin=lin, cache_dtype=kv_cache_dtype)
 
     ys = jnp.full((b * k, max_len), cfg.pad_id, dtype=jnp.int32)
     ys = ys.at[:, 0].set(start_symbol)

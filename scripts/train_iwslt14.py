@@ -56,6 +56,15 @@ def evaluate_bleu(model, params, pairs, vs, vt, max_padding, batch_size=128, lim
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--data", default="/root/reference/data")
+    # Generic parallel-corpus training (the reference's wmt14_train.py /
+    # main_train.py / dataloader.py variants): point at any pre-tokenized
+    # line-aligned file pair and (optionally) build a fresh vocab from it.
+    ap.add_argument("--train-src", default=None, help="src train file (overrides --data valid split)")
+    ap.add_argument("--train-tgt", default=None)
+    ap.add_argument("--test-src", default=None)
+    ap.add_argument("--test-tgt", default=None)
+    ap.add_argument("--build-vocab", action="store_true",
+                    help="build vocab from the train files (min_freq 2) instead of the IWSLT14 artifact")
     ap.add_argument("--epochs", type=int, default=60)
     ap.add_argument("--batch-size", type=int, default=128)
     ap.add_argument("--max-padding", type=int, default=72)
@@ -74,10 +83,25 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     print("devices:", jax.devices(), flush=True)
 
-    vs, vt = load_iwslt14_vocab()
-    train_pairs = load_split(args.data, "valid")
-    test_pairs = load_split(args.data, "test")
-    print(f"train pairs {len(train_pairs)}, test pairs {len(test_pairs)}", flush=True)
+    from onnx_transformer_tpu.data.dataset import load_pairs, tokenize
+    from onnx_transformer_tpu.data.vocab import build_vocab, save_vocab
+
+    if args.train_src:
+        train_pairs = load_pairs(args.train_src, args.train_tgt)
+        test_pairs = (load_pairs(args.test_src, args.test_tgt)
+                      if args.test_src else train_pairs[: min(512, len(train_pairs))])
+    else:
+        train_pairs = load_split(args.data, "valid")
+        test_pairs = load_split(args.data, "test")
+    if args.build_vocab:
+        vs = build_vocab(tokenize(s) for s, _ in train_pairs)
+        vt = build_vocab(tokenize(t) for _, t in train_pairs)
+        os.makedirs(args.out, exist_ok=True)
+        save_vocab(vs, vt, os.path.join(args.out, "vocab.json"))
+    else:
+        vs, vt = load_iwslt14_vocab()
+    print(f"train pairs {len(train_pairs)}, test pairs {len(test_pairs)}, "
+          f"vocab {len(vs)}/{len(vt)}", flush=True)
 
     cfg = TransformerConfig(
         src_vocab_size=len(vs), tgt_vocab_size=len(vt), scan_layers=True

@@ -98,3 +98,37 @@ def test_ids_to_tokens_cuts_at_eos():
     toks = D.ids_to_tokens(ids, V())
     assert toks[0] == ["a", "b"]
     assert toks[1] == ["b", "b"]
+
+
+def test_int8_kv_cache_lossless_under_w8a8(small):
+    """With the W8A8 linear impl, k/v already sit on the per-token int8 grid,
+    so the int8 KV cache must reproduce fp32-cache decode exactly."""
+    from onnx_transformer_tpu.quant import w8a8 as W
+
+    m, params = small
+    src, sm = _src()
+    payloads = W.quantize_model_params(m, params)
+    lin8 = W.make_w8a8_linear_impl(payloads)
+    ys_fp = np.array(D.greedy_decode(m, params, src, sm, 10, lin=lin8))
+    ys_i8 = np.array(D.greedy_decode(m, params, src, sm, 10, lin=lin8,
+                                     kv_cache_dtype="int8"))
+    np.testing.assert_array_equal(ys_i8, ys_fp)
+
+
+def test_int8_kv_cache_fp_model_close(small):
+    """For the unquantized model the int8 cache is an approximation; decode
+    must run and mostly agree with the fp cache."""
+    m, params = small
+    src, sm = _src()
+    ys_fp = np.array(D.greedy_decode(m, params, src, sm, 12))
+    ys_i8 = np.array(D.greedy_decode(m, params, src, sm, 12, kv_cache_dtype="int8"))
+    agreement = (ys_fp == ys_i8).mean()
+    assert agreement > 0.7, agreement
+
+
+def test_int8_kv_cache_beam_runs(small):
+    m, params = small
+    src, sm = _src(b=2)
+    ys = np.array(D.beam_decode(m, params, src, sm, 8, beam_size=2,
+                                kv_cache_dtype="int8"))
+    assert ys.shape == (2, 8)
