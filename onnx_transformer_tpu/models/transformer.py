@@ -95,6 +95,13 @@ class Transformer:
     def __init__(self, config: TransformerConfig):
         self.cfg = config
 
+    # hash by config so jit caches treat equal-config instances as one
+    def __hash__(self):
+        return hash(self.cfg)
+
+    def __eq__(self, other):
+        return isinstance(other, Transformer) and self.cfg == other.cfg
+
     # ------------------------------------------------------------------ init
 
     def init(self, rng: jax.Array) -> Params:

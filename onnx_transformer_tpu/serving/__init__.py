@@ -1,0 +1,7 @@
+from onnx_transformer_tpu.serving.decode import (  # noqa: F401
+    beam_decode,
+    greedy_decode,
+    greedy_decode_nocache,
+    ids_to_tokens,
+)
+from onnx_transformer_tpu.serving.engine import TranslationEngine  # noqa: F401

@@ -51,6 +51,7 @@ class TranslationEngine:
         src_len: int = 72,
         max_len: int = 72,
         chunk_steps: int = 16,
+        kv_cache_dtype: str = "fp32",
     ):
         self.model = model
         self.params = params
@@ -59,6 +60,7 @@ class TranslationEngine:
         self.S = src_len
         self.T = max_len
         self.chunk = chunk_steps
+        self.kv_dtype = kv_cache_dtype
         cfg = model.cfg
         self._ids = itertools.count()
         self._queue: list[Request] = []
@@ -72,7 +74,8 @@ class TranslationEngine:
             src = src_row[None, :]                      # [1, S]
             src_mask = (src != cfg.pad_id)[:, None, :]
             memory = m.encode(params, src, src_mask, lin=self.lin)
-            cache1 = m.init_cache(params, memory, self.T, lin=self.lin)
+            cache1 = m.init_cache(params, memory, self.T, lin=self.lin,
+                                  cache_dtype=self.kv_dtype)
             new_cache = jax.tree.map(
                 lambda big, one: big.at[slot].set(one), state["cache"], cache1
             )
@@ -137,14 +140,28 @@ class TranslationEngine:
         dt = cfg.dtype
         layers = []
         for _ in range(cfg.num_layers):
-            layers.append(
-                {
-                    "k": jnp.zeros((self.B, 1, h, self.T, dk), dt),
-                    "v": jnp.zeros((self.B, 1, h, self.T, dk), dt),
-                    "cross_k": jnp.zeros((self.B, 1, h, self.S, dk), dt),
-                    "cross_v": jnp.zeros((self.B, 1, h, self.S, dk), dt),
-                }
-            )
+            if self.kv_dtype == "int8":
+                layers.append(
+                    {
+                        "k": jnp.zeros((self.B, 1, h, self.T, dk), jnp.int8),
+                        "v": jnp.zeros((self.B, 1, h, self.T, dk), jnp.int8),
+                        "k_scale": jnp.zeros((self.B, 1, self.T, 1), jnp.float32),
+                        "v_scale": jnp.zeros((self.B, 1, self.T, 1), jnp.float32),
+                        "cross_k": jnp.zeros((self.B, 1, h, self.S, dk), jnp.int8),
+                        "cross_v": jnp.zeros((self.B, 1, h, self.S, dk), jnp.int8),
+                        "cross_k_scale": jnp.zeros((self.B, 1, self.S, 1), jnp.float32),
+                        "cross_v_scale": jnp.zeros((self.B, 1, self.S, 1), jnp.float32),
+                    }
+                )
+            else:
+                layers.append(
+                    {
+                        "k": jnp.zeros((self.B, 1, h, self.T, dk), dt),
+                        "v": jnp.zeros((self.B, 1, h, self.T, dk), dt),
+                        "cross_k": jnp.zeros((self.B, 1, h, self.S, dk), dt),
+                        "cross_v": jnp.zeros((self.B, 1, h, self.S, dk), dt),
+                    }
+                )
         return {
             "cache": {"layers": layers},
             "src_mask": jnp.zeros((self.B, 1, 1, self.S), bool),

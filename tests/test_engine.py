@@ -85,3 +85,20 @@ def test_engine_incremental_submission(setup):
     assert first[0].out_tokens == want[0]
     got = sorted(r.out_tokens for r in second)
     assert got == sorted(want[1:3])
+
+
+def test_engine_int8_kv_cache_matches_fp_under_w8a8(setup):
+    from onnx_transformer_tpu.quant import w8a8 as W
+
+    m, params, srcs = setup
+    payloads = W.quantize_model_params(m, params)
+    lin8 = W.make_w8a8_linear_impl(payloads)
+    kw = dict(num_slots=3, src_len=srcs.shape[1], max_len=10, chunk_steps=4)
+    eng_fp = TranslationEngine(m, params, lin=lin8, **kw)
+    eng_i8 = TranslationEngine(m, params, lin=lin8, kv_cache_dtype="int8", **kw)
+    for s in srcs[:5]:
+        eng_fp.submit(s)
+        eng_i8.submit(s)
+    out_fp = {r.req_id: r.out_tokens for r in eng_fp.run()}
+    out_i8 = {r.req_id: r.out_tokens for r in eng_i8.run()}
+    assert out_fp == out_i8
