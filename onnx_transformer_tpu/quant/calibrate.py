@@ -57,19 +57,37 @@ def get_act_scales(
     jit: bool = True,
 ) -> dict[str, np.ndarray]:
     """Per-channel absmax of every linear input over <= num_samples batches
-    (running max across batches, get_quantized_scales.py:129-136)."""
-    step = calibration_step
+    (running max across batches, get_quantized_scales.py:129-136).
+
+    The running max lives on device (one jitted update per batch, a single
+    host fetch at the end) — per-batch transfers of 96 tensors over a slow
+    device link would otherwise dominate."""
     if jit:
-        step = jax.jit(partial(calibration_step, model))
-        args = lambda p, b: (p, b.src, b.tgt_in, b.src_mask, b.tgt_mask)
-    else:
-        args = lambda p, b: (model, p, b.src, b.tgt_in, b.src_mask, b.tgt_mask)
+        @jax.jit
+        def update(acc, p, src, tgt_in, src_mask, tgt_mask):
+            batch_scales = calibration_step(model, p, src, tgt_in, src_mask, tgt_mask)
+            if acc is None:
+                return batch_scales
+            return {k: jnp.maximum(acc[k], v) for k, v in batch_scales.items()}
+
+        acc = None
+        for count, b in enumerate(batches):
+            if count > num_samples:
+                break
+            if acc is None:
+                # first call outside the jitted accumulator (acc=None is not
+                # a valid traced arg)
+                acc = jax.jit(partial(calibration_step, model))(
+                    params, b.src, b.tgt_in, b.src_mask, b.tgt_mask)
+            else:
+                acc = update(acc, params, b.src, b.tgt_in, b.src_mask, b.tgt_mask)
+        return {} if acc is None else {k: np.asarray(v) for k, v in acc.items()}
 
     scales: dict[str, np.ndarray] = {}
     for count, b in enumerate(batches):
         if count > num_samples:
             break
-        batch_scales = step(*args(params, b))
+        batch_scales = calibration_step(model, params, b.src, b.tgt_in, b.src_mask, b.tgt_mask)
         for k, v in batch_scales.items():
             v = np.asarray(v)
             scales[k] = np.maximum(scales[k], v) if k in scales else v

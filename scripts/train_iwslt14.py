@@ -149,7 +149,10 @@ def main():
             line["test_bleu"] = round(bleu, 4)
         history.append(line)
         print(json.dumps(line), flush=True)
-        CKPT.save_params_with_meta(ckpt_path, state, {"epoch": epoch, "config": "iwslt14-base"})
+        # fetching ~0.5GB of train state over the device tunnel costs ~45s,
+        # so checkpoint on the eval cadence rather than every epoch
+        if (epoch + 1) % max(args.eval_every, 1) == 0 or epoch + 1 == args.epochs:
+            CKPT.save_params_with_meta(ckpt_path, state, {"epoch": epoch, "config": "iwslt14-base"})
 
     # final full-test BLEU
     bleu = evaluate_bleu(
