@@ -7,10 +7,9 @@ The headline metric is output tokens/sec/chip of the INT8 W8A8 quantized
 model with KV cache under batched greedy decode (the reference's serving
 path re-executes the full decoder ONNX graph per token on CPU with no cache,
 ``onnx_optimized_custom_inference.py:624-671`` — it publishes no numbers, so
-``vs_baseline`` is the speedup over our own FP32 no-KV-cache per-token
-re-decode of the same model, i.e. an XLA-optimised stand-in for the
-reference's serving architecture).  Extras report FP32-cached throughput and
-the INT8-vs-FP32 BLEU delta on real test data when a trained checkpoint is
+``vs_baseline`` is the speedup over our own FP32 KV-cached decode of the
+same model on the same chip).  Extras report FP32 throughput and the
+INT8-vs-FP32 BLEU delta on real test data when a trained checkpoint is
 present.
 """
 
@@ -41,7 +40,7 @@ from onnx_transformer_tpu.serving import decode as D
 CKPT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                     "checkpoints/iwslt14/model_final.npz")
 BATCH = 128
-MAX_LEN = 64
+MAX_LEN = 72
 DECODE_STEPS = MAX_LEN - 1
 
 
@@ -71,6 +70,10 @@ def main():
     cfg = TransformerConfig(len(vs), len(vt))
     model = Transformer(cfg)
     params, trained = load_params(model)
+    # checkpoint restore yields host numpy arrays; pin them on device or
+    # every jit call re-uploads ~170MB over the device link (measured 50x
+    # decode slowdown)
+    params = jax.device_put(params)
 
     data_dir = "/root/reference/data"
     if os.path.exists(data_dir):
@@ -81,16 +84,25 @@ def main():
     src = jnp.asarray(src_np)
     sm = jnp.asarray(L.make_src_mask(src))
 
-    # INT8 quantized serving path (KV cache, batched, jitted)
-    from onnx_transformer_tpu.quant.calibrate import get_act_scales
-    from onnx_transformer_tpu.data.dataset import BucketedLoader
+    # INT8 quantized serving path (KV cache, batched, jitted).  Reuse the
+    # saved calibration artifact when present — calibrating in-bench would
+    # recompile the big tap-forward graph and dominate bench wall-clock.
+    scales_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "scales", "transformer_scales.npz")
+    if os.path.exists(scales_path):
+        from onnx_transformer_tpu.quant.smoothquant import load_reference_scales
+        scales = load_reference_scales(scales_path)
+    else:
+        from onnx_transformer_tpu.quant.calibrate import get_act_scales
+        from onnx_transformer_tpu.data.dataset import BucketedLoader
 
-    calib = BucketedLoader(pairs, vs, vt, batch_size=32, max_padding=MAX_LEN,
-                           shuffle=False, seed=0)
-    scales = get_act_scales(model, params, calib, num_samples=4)
+        calib = BucketedLoader(pairs, vs, vt, batch_size=BATCH, max_padding=MAX_LEN,
+                               shuffle=False, seed=0, drop_last=False)
+        scales = get_act_scales(model, params, calib, num_samples=4)
     sp, lin8 = W.quantize_transformer(model, params, scales, mode="int8")
 
-    dec_int8 = jax.jit(lambda p, s, m: D.greedy_decode(model, p, s, m, MAX_LEN, lin=lin8))
+    dec_int8 = jax.jit(lambda p, s, m: D.greedy_decode(model, p, s, m, MAX_LEN,
+                                                       lin=lin8, kv_cache_dtype="int8"))
     t_int8, ys_q = timed(dec_int8, sp, src, sm)
     toks_int8 = BATCH * DECODE_STEPS / t_int8
 
@@ -99,36 +111,16 @@ def main():
     t_fp, ys_fp = timed(dec_fp, params, src, sm)
     toks_fp = BATCH * DECODE_STEPS / t_fp
 
-    # Architecture baseline: no KV cache — full decoder re-run per token
-    # (the reference's decode loop, XLA-compiled; still O(L^2) work)
-    @jax.jit
-    def dec_nocache(p, s, m):
-        memory = model.encode(p, s, m)
-        b = s.shape[0]
-        ys = jnp.full((b, MAX_LEN), cfg.pad_id, jnp.int32).at[:, 0].set(cfg.bos_id)
-
-        def step(ys, i):
-            causal = jnp.tril(jnp.ones((MAX_LEN, MAX_LEN), bool))
-            live = (jnp.arange(MAX_LEN)[None, :] <= i)
-            tmask = causal[None] & live[:, :, None] & live[:, None, :]
-            h = model.decode(p, memory, m, ys, tmask)
-            logp = model.generate(p, h[jnp.arange(b), i])
-            ys = ys.at[:, i + 1].set(jnp.argmax(logp, -1).astype(jnp.int32))
-            return ys, None
-
-        ys, _ = jax.lax.scan(step, ys, jnp.arange(MAX_LEN - 1))
-        return ys
-
-    t_nc, _ = timed(dec_nocache, params, src, sm, iters=1)
-    toks_nc = BATCH * DECODE_STEPS / t_nc
-
     out = {
-        "metric": "int8_kv_cache_decode_tokens_per_sec_per_chip",
+        "metric": "w8a8_int8kv_greedy_decode_tokens_per_sec_per_chip",
         "value": round(toks_int8, 1),
         "unit": "tokens/s",
-        "vs_baseline": round(toks_int8 / toks_nc, 2),
+        # baseline = our own FP32 KV-cached decode of the same model on the
+        # same chip (the reference publishes no numbers; its actual serving
+        # path — per-token ONNX session rebuilds on CPU — is orders of
+        # magnitude slower and not meaningfully comparable)
+        "vs_baseline": round(toks_int8 / toks_fp, 2),
         "fp32_kv_cache_tokens_per_sec": round(toks_fp, 1),
-        "nocache_fp32_tokens_per_sec": round(toks_nc, 1),
         "batch": BATCH,
         "decode_len": DECODE_STEPS,
         "trained_checkpoint": trained,

@@ -50,9 +50,23 @@ def smooth_ln_fcs(ln: dict, fcs: list[dict], act_scales: jax.Array, alpha: float
     return new_ln, new_fcs
 
 
-def smooth_params(params: dict, act_scales: Mapping[str, np.ndarray], alpha: float = 0.5) -> dict:
+def smooth_params(
+    params: dict,
+    act_scales: Mapping[str, np.ndarray],
+    alpha: float = 0.5,
+    faithful_cross_attn: bool = False,
+) -> dict:
     """Apply SmoothQuant migration to a Transformer param tree, returning a
-    new tree (input untouched)."""
+    new tree (input untouched).
+
+    ``faithful_cross_attn=True`` reproduces the reference bug exactly: it
+    migrates the decoder *cross*-attention k/v weights too, although their
+    inputs (encoder memory) never get the inverse scaling — measured on our
+    trained checkpoint this alone drops test BLEU from 0.059 to 0.016 while
+    quantization itself is lossless.  The default migrates only the q
+    projection there (the one that actually consumes the smoothed LN
+    output), which preserves the function exactly.
+    """
     params = jax.tree.map(lambda x: x, params)  # shallow-ish copy via rebuild
 
     def apply(ln, attn_or_ffn, fc_keys, scale_key):
@@ -68,11 +82,12 @@ def smooth_params(params: dict, act_scales: Mapping[str, np.ndarray], alpha: flo
                           f"{nm}.self_attn.linears.0")
         lp["ln1"] = apply(lp["ln1"], lp["ffn"], ["w1"], f"{nm}.feed_forward.w_1")
 
+    cross_keys = ["q", "k", "v"] if faithful_cross_attn else ["q"]
     for i, lp in enumerate(params["decoder"]["layers"]):
         nm = f"decoder.layers.{i}"
         lp["ln0"] = apply(lp["ln0"], lp["self_attn"], ["q", "k", "v"],
                           f"{nm}.self_attn.linears.0")
-        lp["ln1"] = apply(lp["ln1"], lp["src_attn"], ["q", "k", "v"],
+        lp["ln1"] = apply(lp["ln1"], lp["src_attn"], cross_keys,
                           f"{nm}.src_attn.linears.0")
         lp["ln2"] = apply(lp["ln2"], lp["ffn"], ["w1"], f"{nm}.feed_forward.w_1")
 

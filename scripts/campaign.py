@@ -57,7 +57,7 @@ def main():
     model = Transformer(cfg)
     tx = T.make_optimizer(cfg.d_model)
     template = T.init_state(model, tx, jax.random.key(0)).tree()
-    params = CKPT.restore(args.ckpt, template)["params"]
+    params = jax.device_put(CKPT.restore(args.ckpt, template)["params"])
 
     if args.scales:
         from onnx_transformer_tpu.quant.smoothquant import load_reference_scales, smooth_params

@@ -56,7 +56,7 @@ def main():
     model = Transformer(cfg)
     tx = T.make_optimizer(cfg.d_model)
     template = T.init_state(model, tx, jax.random.key(0)).tree()
-    params = CKPT.restore(args.ckpt, template)["params"]
+    params = jax.device_put(CKPT.restore(args.ckpt, template)["params"])
 
     lin = None
     if args.mode == "int8":

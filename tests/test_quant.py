@@ -122,14 +122,15 @@ def _random_scales(m, d=32, seed=7):
     return scales
 
 
-def test_smooth_params_encoder_invariance(small):
-    """Everywhere the smoothed LN actually feeds the scaled linears (encoder
-    self-attn + FFN, decoder self-attn + FFN) the function is unchanged."""
+def test_smooth_params_default_preserves_full_forward(small):
+    """Default migration must leave the whole model function unchanged —
+    including cross-attention, where only the q projection (the consumer of
+    the smoothed LN output) is scaled."""
     m, params = small
     src, tgt_in, sm, tm = _batch()
-    before = m.encode(params, src, sm)
+    before = m.forward(params, src, tgt_in, sm, tm)
     smoothed = smooth_params(params, _random_scales(m))
-    after = m.encode(smoothed, src, sm)
+    after = m.forward(smoothed, src, tgt_in, sm, tm)
     np.testing.assert_allclose(np.array(after), np.array(before), rtol=5e-3, atol=5e-4)
     w0 = params["encoder"]["layers"][0]["self_attn"]["q"]["w"]
     w1 = smoothed["encoder"]["layers"][0]["self_attn"]["q"]["w"]
@@ -137,15 +138,19 @@ def test_smooth_params_encoder_invariance(small):
 
 
 def test_smooth_params_cross_attn_faithful_deviation(small):
-    """The reference also migrates cross-attention k/v weights whose input is
-    the (unsmoothed) encoder memory (get_quantized_model.py:127-138) — the
-    function there legitimately changes. We reproduce that faithfully."""
+    """faithful_cross_attn=True reproduces the reference bug: it migrates
+    cross-attention k/v weights whose input is the (unsmoothed) encoder
+    memory (get_quantized_model.py:127-138) — the function there changes."""
     m, params = small
     src, tgt_in, sm, tm = _batch()
     before = m.forward(params, src, tgt_in, sm, tm)
-    smoothed = smooth_params(params, _random_scales(m))
+    smoothed = smooth_params(params, _random_scales(m), faithful_cross_attn=True)
     after = m.forward(smoothed, src, tgt_in, sm, tm)
     assert not np.allclose(np.array(after), np.array(before), rtol=5e-3, atol=5e-4)
+    # encoder side is unchanged either way
+    np.testing.assert_allclose(np.array(m.encode(smoothed, src, sm)),
+                               np.array(m.encode(params, src, sm)),
+                               rtol=5e-3, atol=5e-4)
 
 
 # ------------------------------------------------------------- calibration
