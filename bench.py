@@ -39,7 +39,7 @@ from onnx_transformer_tpu.serving import decode as D
 
 CKPT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                     "checkpoints/iwslt14/model_final.npz")
-BATCH = 128
+BATCH = 512
 MAX_LEN = 72
 DECODE_STEPS = MAX_LEN - 1
 

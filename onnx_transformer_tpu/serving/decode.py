@@ -63,6 +63,46 @@ def greedy_decode(
     return ys
 
 
+def greedy_decode_early_exit(
+    model: Transformer,
+    params,
+    src: jax.Array,
+    src_mask: jax.Array,
+    max_len: int,
+    start_symbol: int = 0,
+    lin=default_linear,
+    kv_cache_dtype: str = "fp32",
+) -> jax.Array:
+    """Greedy decode that stops as soon as every row has emitted EOS
+    (lax.while_loop).  Same outputs as :func:`greedy_decode`; ~2-3x less
+    device work on natural-length outputs (typical IWSLT14 hypotheses are
+    ~25 tokens vs the fixed 71-step scan)."""
+    cfg = model.cfg
+    b = src.shape[0]
+    memory = model.encode(params, src, src_mask, lin=lin)
+    cache = model.init_cache(params, memory, max_len, lin=lin, cache_dtype=kv_cache_dtype)
+    ys = jnp.full((b, max_len), cfg.pad_id, dtype=jnp.int32).at[:, 0].set(start_symbol)
+    finished = jnp.zeros((b,), dtype=bool)
+
+    def cond(state):
+        i, cache, ys, finished, last = state
+        return (i < max_len - 1) & ~jnp.all(finished)
+
+    def body(state):
+        i, cache, ys, finished, last = state
+        logp, cache = model.decode_step(params, cache, last[:, None], i, src_mask, lin=lin)
+        nxt = jnp.argmax(logp, axis=-1).astype(jnp.int32)
+        nxt = jnp.where(finished, cfg.pad_id, nxt)
+        finished = finished | (nxt == cfg.eos_id)
+        ys = ys.at[:, i + 1].set(nxt)
+        return (i + 1, cache, ys, finished, nxt)
+
+    _, _, ys, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), cache, ys, finished, ys[:, 0])
+    )
+    return ys
+
+
 def greedy_decode_nocache(
     model: Transformer,
     params,

@@ -132,3 +132,11 @@ def test_int8_kv_cache_beam_runs(small):
     ys = np.array(D.beam_decode(m, params, src, sm, 8, beam_size=2,
                                 kv_cache_dtype="int8"))
     assert ys.shape == (2, 8)
+
+
+def test_early_exit_matches_scan_decode(small):
+    m, params = small
+    src, sm = _src()
+    ys_scan = np.array(D.greedy_decode(m, params, src, sm, 12))
+    ys_we = np.array(D.greedy_decode_early_exit(m, params, src, sm, 12))
+    np.testing.assert_array_equal(ys_we, ys_scan)
