@@ -26,7 +26,7 @@ import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from onnx_transformer_tpu.models.transformer import Transformer
+from onnx_transformer_tpu.models.transformer import Transformer, default_linear
 from onnx_transformer_tpu.parallel.mesh import DATA_AXIS
 from onnx_transformer_tpu.parallel.sharding import param_pspecs
 from onnx_transformer_tpu.train.loss import loss_and_ntokens
@@ -57,9 +57,10 @@ def init_state(model: Transformer, tx, rng: jax.Array) -> TrainState:
     return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
 
 
-def _loss_fn(model, params, src, tgt_in, tgt_y, src_mask, tgt_mask, rng, smoothing):
+def _loss_fn(model, params, src, tgt_in, tgt_y, src_mask, tgt_mask, rng, smoothing,
+             lin=default_linear):
     logp = model.forward_logits(
-        params, src, tgt_in, src_mask, tgt_mask, rng=rng, train=True
+        params, src, tgt_in, src_mask, tgt_mask, rng=rng, train=True, lin=lin
     )
     loss, ntok = loss_and_ntokens(logp, tgt_y, model.cfg.pad_id, smoothing)
     ntok = jnp.maximum(ntok, 1)
@@ -73,17 +74,22 @@ def make_train_step(
     accum: int = 1,
     smoothing: float = 0.1,
     donate: bool = True,
+    lin=default_linear,
 ):
     """Build the compiled train step.
 
     Batch arrays must be [accum, B, ...] when accum > 1, else [B, ...].
+    ``lin`` swaps the linear implementation — e.g. a QAT fake-quant impl
+    (quant/int4.make_qat_linear_impl), the TPU-native version of training
+    with Brevitas QuantLinears (reference README.md:9-12).
     Returns fn(state_tree, batch, rng) -> (state_tree, metrics).
     """
 
     def grads_of(params, micro, rng):
         src, tgt_in, tgt_y, src_mask, tgt_mask = micro
         (loss_mean, (loss, ntok)), grads = jax.value_and_grad(
-            lambda p: _loss_fn(model, p, src, tgt_in, tgt_y, src_mask, tgt_mask, rng, smoothing),
+            lambda p: _loss_fn(model, p, src, tgt_in, tgt_y, src_mask, tgt_mask, rng,
+                               smoothing, lin),
             has_aux=True,
         )(params)
         return grads, loss, ntok

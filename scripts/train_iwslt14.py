@@ -74,6 +74,8 @@ def main():
     ap.add_argument("--out", default="checkpoints/iwslt14")
     ap.add_argument("--eval-every", type=int, default=5)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--qat", choices=["none", "w8a8", "w4a8"], default="none",
+                    help="quantization-aware training (STE fake-quant linears)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -119,7 +121,13 @@ def main():
         start_epoch = meta.get("epoch", 0) + 1
         print(f"resumed from epoch {start_epoch}", flush=True)
 
-    step_fn = T.make_train_step(model, tx, accum=args.accum, donate=True)
+    from onnx_transformer_tpu.models.transformer import default_linear
+    lin = default_linear
+    if args.qat != "none":
+        from onnx_transformer_tpu.quant.int4 import make_qat_linear_impl
+        w_bits = 8 if args.qat == "w8a8" else 4
+        lin = make_qat_linear_impl(w_bits=w_bits, a_bits=8)
+    step_fn = T.make_train_step(model, tx, accum=args.accum, donate=True, lin=lin)
     loader = BucketedLoader(
         train_pairs, vs, vt, batch_size=args.batch_size,
         max_padding=args.max_padding, seed=7,
