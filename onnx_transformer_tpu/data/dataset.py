@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass
-from typing import Iterator, Sequence
+from typing import Iterator, Optional, Sequence
 
 import numpy as np
 
@@ -116,6 +116,14 @@ class BucketedLoader:
     cuts fixed-size batches, then shuffles batch order.  Every batch has the
     same [B, max_padding] shape; short final batches are dropped when
     ``drop_last`` (default, to keep XLA shapes static).
+
+    ``token_budget`` switches to the reference's token-count batching
+    (``batch_size_fn`` counts max-padded tokens, 12000/batch,
+    ``train.py:48-58``) in shape-static form: sequence lengths are rounded
+    up to a small set of ``length_buckets`` and each bucket gets a fixed
+    batch size ``~ token_budget / bucket_len``, so short sentences ride in
+    large batches, long ones in small batches, and XLA compiles at most
+    ``len(length_buckets)`` shapes instead of one per dynamic batch.
     """
 
     def __init__(
@@ -132,6 +140,8 @@ class BucketedLoader:
         num_shards: int = 1,
         shard_index: int = 0,
         use_native: bool = True,
+        token_budget: Optional[int] = None,
+        length_buckets: Sequence[int] = (16, 24, 32, 48, 72),
     ):
         self.pairs = list(pairs)
         self.vocab_src = vocab_src
@@ -147,6 +157,9 @@ class BucketedLoader:
         # DistributedSampler, distributed/iwslt14_train.py:334).
         self.num_shards = num_shards
         self.shard_index = shard_index
+        self.token_budget = token_budget
+        self.length_buckets = sorted(
+            min(l, max_padding) for l in set(length_buckets))
         # C++ batch encoder (native/dataio.cpp) when buildable
         self._native = None
         if use_native:
@@ -170,12 +183,30 @@ class BucketedLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
+    def _bucket_len(self, pair: tuple[str, str]) -> int:
+        """Smallest length bucket that fits the pair after BOS/EOS (+2)."""
+        need = max(len(pair[0].split()), len(pair[1].split())) + 2
+        for l in self.length_buckets:
+            if need <= l:
+                return l
+        return self.length_buckets[-1]  # collate truncates to max_padding
+
+    def _bucket_bsz(self, bucket_len: int) -> int:
+        """Fixed batch size for a bucket ~ token_budget / bucket_len,
+        rounded to a multiple of 8 (MXU-friendly sublane count)."""
+        bsz = max(1, self.token_budget // bucket_len)
+        return bsz // 8 * 8 if bsz >= 16 else bsz
+
     def __iter__(self) -> Iterator[Batch]:
         rng = np.random.default_rng(self.seed + self.epoch)
         idx = np.arange(len(self.pairs))
         if self.shuffle:
             rng.shuffle(idx)
         idx = idx[self.shard_index :: self.num_shards]
+
+        if self.token_budget is not None:
+            yield from self._iter_token_budget(rng, idx)
+            return
 
         batches = []
         pool = self.pool_factor * self.batch_size
@@ -201,6 +232,42 @@ class BucketedLoader:
                 self.vocab_src,
                 self.vocab_tgt,
                 self.max_padding,
+                native=self._native,
+            )
+            yield Batch.make(src, tgt)
+
+    def _iter_token_budget(self, rng, idx) -> Iterator[Batch]:
+        """Token-count batching (reference ``batch_size_fn``, train.py:48-58)
+        with static shapes: one (bucket_len, bucket_bsz) shape per bucket."""
+        pending: dict[int, list[int]] = {l: [] for l in self.length_buckets}
+        batches: list[tuple[int, list[int]]] = []
+        pool = self.pool_factor * self.batch_size
+        for start in range(0, len(idx), pool):
+            chunk = sorted(
+                idx[start : start + pool],
+                key=lambda i: (
+                    len(self.pairs[i][0].split()),
+                    len(self.pairs[i][1].split()),
+                ),
+            )
+            for i in chunk:
+                l = self._bucket_len(self.pairs[i])
+                pending[l].append(int(i))
+                if len(pending[l]) == self._bucket_bsz(l):
+                    batches.append((l, pending[l]))
+                    pending[l] = []
+        if not self.drop_last:
+            for l, group in pending.items():
+                if group:
+                    batches.append((l, group))
+        if self.shuffle:
+            rng.shuffle(batches)
+        for l, group in batches:
+            src, tgt = collate(
+                [self.pairs[i] for i in group],
+                self.vocab_src,
+                self.vocab_tgt,
+                l,
                 native=self._native,
             )
             yield Batch.make(src, tgt)

@@ -68,6 +68,35 @@ def test_bucketed_loader_static_shapes():
     )
 
 
+def test_token_budget_bucketing():
+    """Token-count batching (reference batch_size_fn, train.py:48-58) in
+    shape-static form: every batch shape is (bucket_bsz, bucket_len) from a
+    fixed bucket set, and padded token count stays within the budget."""
+    v = V.Vocab(V.SPECIALS + ["a", "b"])
+    pairs = [("a " * (i % 14 + 1), "b " * (i % 9 + 1)) for i in range(256)]
+    budget = 256
+    loader = DS.BucketedLoader(
+        pairs, v, v, max_padding=16, seed=1, token_budget=budget,
+        length_buckets=(8, 12, 16), drop_last=False)
+    batches = list(loader)
+    seen_shapes = set()
+    total = 0
+    for b in batches:
+        bsz, l = b.src.shape
+        assert l in (8, 12, 16)
+        expect_bsz = loader._bucket_bsz(l)
+        assert bsz <= expect_bsz
+        assert expect_bsz * l <= budget + 8 * l  # rounding slack
+        seen_shapes.add((bsz, l))
+        total += bsz
+    assert total == len(pairs)  # drop_last=False consumes everything
+    assert len(seen_shapes) >= 2  # short and long sentences batched apart
+    # full-size batches dominate (static compile shapes)
+    full = sum(1 for b in batches
+               if b.src.shape[0] == loader._bucket_bsz(b.src.shape[1]))
+    assert full >= len(batches) - len(loader.length_buckets)
+
+
 def test_loader_sharding_partitions():
     v = V.Vocab(V.SPECIALS + ["a"])
     pairs = [(f"a", f"a") for _ in range(32)]
