@@ -42,16 +42,28 @@ def _pad_to(x, m: int, axis: int):
     return jnp.pad(x, widths)
 
 
-def _w8a8_kernel(x_ref, sx_ref, w_ref, sw_ref, b_ref, o_ref):
-    acc = jax.lax.dot_general(
+def _w8a8_kernel(x_ref, sx_ref, w_ref, sw_ref, b_ref, o_ref, acc_ref, *, nk):
+    """K-tiled int8 matmul: int32 accumulate in VMEM scratch across the
+    (fastest-iterating) K grid dim, dequant epilogue on the last K step."""
+    k_idx = pl.program_id(2)
+
+    @pl.when(k_idx == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jax.lax.dot_general(
         x_ref[:], w_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
-    o_ref[:] = acc.astype(jnp.float32) * (sx_ref[:] * sw_ref[:]) + b_ref[:]
+
+    @pl.when(k_idx == nk - 1)
+    def _epilogue():
+        o_ref[:] = (acc_ref[:].astype(jnp.float32)
+                    * (sx_ref[:] * sw_ref[:]) + b_ref[:])
 
 
-@partial(jax.jit, static_argnames=("block_m", "block_n", "interpret"))
+@partial(jax.jit, static_argnames=("block_m", "block_n", "block_k", "interpret"))
 def w8a8_matmul(
     xq: jax.Array,   # int8 [..., K]
     sx: jax.Array,   # f32  [...]   per-token scales
@@ -60,6 +72,7 @@ def w8a8_matmul(
     b: jax.Array | None = None,  # f32 [N]
     block_m: int = 256,
     block_n: int = 256,
+    block_k: int = 2048,
     interpret: bool = False,
 ) -> jax.Array:
     """-> f32 [..., N] = (xq int8 @ wq int8) * sx[:,None] * sw[None,:] + b."""
@@ -71,27 +84,36 @@ def w8a8_matmul(
     m = x2.shape[0]
     bm = min(block_m, max(32, 1 << (m - 1).bit_length()))
     bn = min(block_n, n)
+    bk = min(block_k, k)
     x2 = _pad_to(x2, bm, 0)
     s2 = _pad_to(s2, bm, 0)
     mp = x2.shape[0]
+    nk = _cdiv(k, bk)
+    if k % bk:  # int8 zero-pad of K is exact (adds 0 to the accumulator)
+        x2 = _pad_to(x2, bk, 1)
+        wq = _pad_to(wq, bk, 0)
+        kp = x2.shape[1]
+    else:
+        kp = k
     if b is None:
         b = jnp.zeros((n,), jnp.float32)
 
     out = pl.pallas_call(
-        _w8a8_kernel,
-        grid=(mp // bm, n // bn),
+        partial(_w8a8_kernel, nk=nk),
+        grid=(mp // bm, n // bn, nk),
         in_specs=[
-            pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda i, j, kk: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((mp, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
         cost_estimate=pl.CostEstimate(
-            flops=2 * mp * n * k,
-            bytes_accessed=mp * k + k * n + mp * n * 4,
+            flops=2 * mp * n * kp,
+            bytes_accessed=mp * kp + kp * n + mp * n * 4,
             transcendentals=0,
         ),
         interpret=interpret,

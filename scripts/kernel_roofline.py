@@ -91,10 +91,46 @@ def run(shapes):
     return rows
 
 
+def sweep():
+    """Block-size sweep of the pre-quantized kernel on the big shapes."""
+    rng = np.random.default_rng(0)
+    shapes = [(16384, 4096, 4096), (36864, 512, 4480), (36864, 2048, 512)]
+    configs = [(256, 512, 2048), (512, 512, 2048), (512, 1024, 2048),
+               (1024, 512, 2048), (512, 512, 4096), (1024, 1024, 1024),
+               (256, 256, 4096)]
+    for m, k, n in shapes:
+        xq = jnp.asarray(rng.integers(-127, 128, (m, k)), jnp.int8)
+        sx = jnp.full((m,), 0.02, jnp.float32)
+        wq = jnp.asarray(rng.integers(-127, 128, (k, n)), jnp.int8)
+        sw = jnp.full((n,), 0.01, jnp.float32)
+        flops = 2.0 * m * k * n
+        print(f"--- {m}x{k}x{n}")
+        for bm, bn, bk in configs:
+            if bn > n or bm > m:
+                continue
+
+            def step(i, s, xq=xq, wq=wq, sw=sw, bm=bm, bn=bn, bk=bk):
+                out = K.w8a8_matmul(xq, s, wq, sw,
+                                    block_m=bm, block_n=bn, block_k=bk)
+                return s + out[:, 0] * 1e-12
+
+            try:
+                t = _bench_chain(step, sx, iters=16, reps=2)
+            except Exception as e:
+                print(f"  bm={bm} bn={bn} bk={bk}: FAIL {str(e)[:80]}")
+                continue
+            print(f"  bm={bm} bn={bn} bk={bk}: {flops/t/1e12:7.1f} TOPS "
+                  f"({flops/t/PEAK_INT8*100:5.1f}% roofline)")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--json", action="store_true")
+    ap.add_argument("--sweep", action="store_true")
     args = ap.parse_args()
+    if args.sweep:
+        sweep()
+        return
     dev = jax.devices()[0]
     b, t = 512, 72  # serving batch x max_len (BASELINE.json config)
     shapes = [

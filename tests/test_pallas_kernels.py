@@ -62,3 +62,16 @@ def test_w8a8_no_bias():
                     jnp.asarray(sw), None, interpret=True)
     )
     np.testing.assert_allclose(got, want - b, rtol=1e-6, atol=1e-4)
+
+
+@pytest.mark.parametrize("k,block_k", [(512, 128), (384, 128), (300, 128)])
+def test_w8a8_matmul_k_tiled(k, block_k):
+    """K-tiling: int32 scratch accumulation across the K grid dim, with
+    zero-padding of a ragged final K tile (exact in the int domain)."""
+    x, xq, sx, wq, sw, b, want = _case(64, k, 256)
+    got = np.array(
+        w8a8_matmul(jnp.asarray(xq), jnp.asarray(sx[:, 0]), jnp.asarray(wq),
+                    jnp.asarray(sw), jnp.asarray(b), block_k=block_k,
+                    interpret=True)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-4)
