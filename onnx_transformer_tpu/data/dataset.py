@@ -178,6 +178,18 @@ class BucketedLoader:
         self.epoch = epoch
 
     def __len__(self) -> int:
+        if self.token_budget is not None:
+            # token-budget mode: estimate step count by bucketing lengths
+            # (exact up to pool-boundary effects; tail batches under
+            # drop_last=False add a few more)
+            counts: dict[int, int] = {l: 0 for l in self.length_buckets}
+            for pair in self.pairs:
+                counts[self._bucket_len(pair)] += 1
+            total = 0
+            for l, c in counts.items():
+                nb = c // self._bucket_bsz(l)
+                total += nb // self.num_shards if self.num_shards > 1 else nb
+            return total
         n = len(self.pairs) // self.num_shards
         if self.drop_last:
             return n // self.batch_size
@@ -202,11 +214,15 @@ class BucketedLoader:
         idx = np.arange(len(self.pairs))
         if self.shuffle:
             rng.shuffle(idx)
-        idx = idx[self.shard_index :: self.num_shards]
 
         if self.token_budget is not None:
+            # Token-budget mode buckets/batches GLOBALLY and shards at batch
+            # granularity (below), so every shard sees the same number of
+            # steps with the same bucket shape each step — required for
+            # lockstep multi-host DP with per-bucket compiled shapes.
             yield from self._iter_token_budget(rng, idx)
             return
+        idx = idx[self.shard_index :: self.num_shards]
 
         batches = []
         pool = self.pool_factor * self.batch_size
@@ -256,11 +272,30 @@ class BucketedLoader:
                 if len(pending[l]) == self._bucket_bsz(l):
                     batches.append((l, pending[l]))
                     pending[l] = []
-        if not self.drop_last:
+        if not self.drop_last and self.num_shards == 1:
+            # tail batches are ragged-sized; only safe single-host
             for l, group in pending.items():
                 if group:
                     batches.append((l, group))
-        if self.shuffle:
+        if self.num_shards > 1:
+            # Shard at batch granularity with bucket-matched steps: for each
+            # bucket, cut batch count to a multiple of num_shards, then give
+            # step k of shard s batch k*num_shards+s of that bucket.  All
+            # shards iterate the same (bucket-shape, step) sequence.
+            by_bucket: dict[int, list[list[int]]] = {}
+            for l, group in batches:
+                by_bucket.setdefault(l, []).append(group)
+            steps: list[tuple[int, int]] = []
+            for l in self.length_buckets:
+                n = len(by_bucket.get(l, [])) // self.num_shards
+                steps.extend((l, k) for k in range(n))
+            if self.shuffle:
+                rng.shuffle(steps)
+            batches = [
+                (l, by_bucket[l][k * self.num_shards + self.shard_index])
+                for l, k in steps
+            ]
+        elif self.shuffle:
             rng.shuffle(batches)
         for l, group in batches:
             src, tgt = collate(

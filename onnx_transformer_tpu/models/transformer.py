@@ -191,20 +191,50 @@ class Transformer:
         lin: LinearImpl,
         self_cache: Optional[dict] = None,
         cache_index=None,
-        kv_precomputed: Optional[tuple] = None,
+        kv_precomputed=None,
+        fused_attn: bool = False,
     ):
         """Multi-headed attention (attention.py:10-67).
 
         ``self_cache``: dict with 'k','v' [B,H,Tmax,dk] for incremental
         decode; new k/v written at ``cache_index``.
         ``kv_precomputed``: (k,v) already projected+split (cross-attention
-        with cached encoder projections).
+        with cached encoder projections), or a dict of quantized operands
+        {'kq','ks','vq','vs'} from an int8 cache.
+        ``fused_attn``: route the single-query int8-cache step through the
+        fused Pallas kernel (ops/pallas/attention.py) — the int8 K/V never
+        get dequantised into an HBM tensor.  Falls back to the jnp path
+        whenever taps/injection are active (those need the score/prob seams)
+        or shapes don't match the decode-step regime.
         """
         cfg = self.cfg
         h = cfg.num_heads
         q = L.split_heads(lin(f"{name}.linears.0", q_in, p["q"]["w"], p["q"]["b"], taps, inject), h)
+        use_fused = (
+            fused_attn and taps is None and inject is None and not train
+            and q.shape[2] == 1
+        )
+
+        def _fused(kq, ks, vq, vs):
+            # mask arrives [B,1,1,T] in the decode-step regime
+            from onnx_transformer_tpu.ops.pallas.attention import decode_attention_int8
+
+            ctx = decode_attention_int8(
+                q[:, :, 0, :], kq, ks[..., 0], vq, vs[..., 0],
+                mask[:, 0, 0, :], quantize=cfg.quantize_attn_probs,
+            )
+            out = L.merge_heads(ctx[:, :, None, :])
+            return lin(f"{name}.linears.3", out, p["o"]["w"], p["o"]["b"], taps, inject)
+
         if kv_precomputed is not None:
-            k, v = kv_precomputed
+            if isinstance(kv_precomputed, dict):  # quantized cross-KV cache
+                c = kv_precomputed
+                if use_fused:
+                    return _fused(c["kq"], c["ks"], c["vq"], c["vs"])
+                k = c["kq"].astype(jnp.float32) * c["ks"][:, None, :, :]
+                v = c["vq"].astype(jnp.float32) * c["vs"][:, None, :, :]
+            else:
+                k, v = kv_precomputed
         else:
             kfull = lin(f"{name}.linears.1", k_in, p["k"]["w"], p["k"]["b"], taps, inject)
             vfull = lin(f"{name}.linears.2", v_in, p["v"]["w"], p["v"]["b"], taps, inject)
@@ -227,8 +257,10 @@ class Transformer:
                     self_cache["k_scale"], ks[:, :, 0][:, None, :], (0, cache_index, 0))
                 self_cache["v_scale"] = jax.lax.dynamic_update_slice(
                     self_cache["v_scale"], vs[:, :, 0][:, None, :], (0, cache_index, 0))
-                # dequantize the full cache for attention (int8 HBM read;
-                # the convert+scale fuses into the attention einsum)
+                if use_fused:
+                    return _fused(self_cache["k"], self_cache["k_scale"],
+                                  self_cache["v"], self_cache["v_scale"])
+                # jnp fallback: dequantize the full cache for attention
                 k = self_cache["k"].astype(jnp.float32) * self_cache["k_scale"][:, None, :, :]
                 v = self_cache["v"].astype(jnp.float32) * self_cache["v_scale"][:, None, :, :]
             else:
@@ -373,6 +405,7 @@ class Transformer:
         lin: LinearImpl = default_linear,
         cache: Optional[dict] = None,
         cache_index=None,
+        fused_attn: bool = False,
     ) -> jax.Array:
         """Full (teacher-forced) decode, or incremental when ``cache`` given.
 
@@ -409,25 +442,27 @@ class Transformer:
             kv_cross = None
             if cache is not None and "cross_k" in cache["layers"][i]:
                 lc = cache["layers"][i]
-                if "cross_k_scale" in lc:  # int8 cache: dequant fuses into attn
-                    kv_cross = (
-                        lc["cross_k"].astype(jnp.float32) * lc["cross_k_scale"][:, None, :, :],
-                        lc["cross_v"].astype(jnp.float32) * lc["cross_v_scale"][:, None, :, :],
-                    )
+                if "cross_k_scale" in lc:
+                    # int8 cross cache: hand _mha the quantized operands —
+                    # the fused kernel consumes them directly, the jnp
+                    # fallback dequantises at the attention site
+                    kv_cross = {"kq": lc["cross_k"], "ks": lc["cross_k_scale"],
+                                "vq": lc["cross_v"], "vs": lc["cross_v_scale"]}
                 else:
                     kv_cross = (lc["cross_k"], lc["cross_v"])
             x = self._sublayer(
                 x, lp["ln0"],
                 lambda h: self._mha(lp["self_attn"], f"{nm}.self_attn", h, h, h,
                                     tmask, rngs, train, taps, inject, lin,
-                                    self_cache=layer_cache, cache_index=cache_index),
+                                    self_cache=layer_cache, cache_index=cache_index,
+                                    fused_attn=fused_attn),
                 rngs, train,
             )
             x = self._sublayer(
                 x, lp["ln1"],
                 lambda h: self._mha(lp["src_attn"], f"{nm}.src_attn", h, memory, memory,
                                     smask, rngs, train, taps, inject, lin,
-                                    kv_precomputed=kv_cross),
+                                    kv_precomputed=kv_cross, fused_attn=fused_attn),
                 rngs, train,
             )
             x = self._sublayer(
@@ -544,6 +579,7 @@ class Transformer:
         lin: LinearImpl = default_linear,
         taps: L.TapDict = None,
         inject: L.InjectDict = None,
+        fused_attn: bool = False,
     ) -> tuple[jax.Array, dict]:
         """One KV-cached decoder step -> (next-token log-probs [B, V], cache)."""
         max_len = cache["layers"][0]["k"].shape[2]
@@ -557,7 +593,7 @@ class Transformer:
             params, memory=None, src_mask=src_mask,
             tgt_in=tok, tgt_mask=step_mask,
             lin=lin, taps=taps, inject=inject,
-            cache=cache, cache_index=index,
+            cache=cache, cache_index=index, fused_attn=fused_attn,
         )
         logp = self.generate(params, h[:, -1], taps=taps, inject=inject, lin=lin)
         return logp, cache

@@ -29,6 +29,12 @@ from jax.experimental.pallas import tpu as pltpu
 from onnx_transformer_tpu.quant.core import SCALE_FLOOR
 
 
+def resolve_interpret(interpret) -> bool:
+    """interpret=None -> auto: interpreter off-TPU (CPU tests / virtual
+    mesh), compiled Mosaic on TPU.  Resolved at trace time (static arg)."""
+    return jax.default_backend() != "tpu" if interpret is None else interpret
+
+
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
@@ -73,9 +79,10 @@ def w8a8_matmul(
     block_m: int = 256,
     block_n: int = 256,
     block_k: int = 2048,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> jax.Array:
     """-> f32 [..., N] = (xq int8 @ wq int8) * sx[:,None] * sw[None,:] + b."""
+    interpret = resolve_interpret(interpret)
     lead = xq.shape[:-1]
     k = xq.shape[-1]
     n = wq.shape[-1]
@@ -142,9 +149,10 @@ def quant_w8a8_matmul(
     b: jax.Array | None = None,
     block_m: int = 256,
     block_n: int = 256,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> jax.Array:
     """Fused per-token quantize + int8 matmul + dequant epilogue."""
+    interpret = resolve_interpret(interpret)
     lead = x.shape[:-1]
     k = x.shape[-1]
     n = wq.shape[-1]

@@ -227,11 +227,23 @@ def pipeline_apply(
         buf0 = xm[0]
         (_, out_acc), _ = jax.lax.scan(
             tick, (buf0, jnp.zeros_like(xm)), jnp.arange(M + S_ - 1))
-        # results live on the last stage; replicate across pipe
-        out_acc = jax.lax.psum(
-            jnp.where(stage == S_ - 1, out_acc, jnp.zeros_like(out_acc)),
-            PIPE_AXIS)
-        return out_acc
+        # Results live on the last stage; replicate with a recursive-doubling
+        # broadcast (log2(S) hops, each link carries the payload once) —
+        # a psum of the zero-padded bank would move ~2x the payload per link
+        # for S > 2 just to add zeros.
+        def _off(i):  # ring distance behind the last stage
+            return (i - (S_ - 1)) % S_
+
+        val = out_acc
+        hop = 1
+        while hop < S_:
+            perm = [(i, (i + hop) % S_) for i in range(S_)
+                    if _off(i) < hop and _off(i) + hop < S_]
+            rot = jax.lax.ppermute(val, PIPE_AXIS, perm)
+            off = (stage - (S_ - 1)) % S_
+            val = jnp.where((off >= hop) & (off < 2 * hop), rot, val)
+            hop *= 2
+        return val
 
     key_data = jax.random.key_data(key) if base_key is not None else key
     out = jax.shard_map(

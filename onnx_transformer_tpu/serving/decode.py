@@ -30,6 +30,7 @@ def greedy_decode(
     lin=default_linear,
     stop_at_eos: bool = True,
     kv_cache_dtype: str = "fp32",
+    fused_attn: bool = False,
 ) -> jax.Array:
     """Batched greedy decode -> token ids [B, max_len] (first column = BOS).
 
@@ -49,7 +50,7 @@ def greedy_decode(
 
     def step(carry, i):
         cache, ys, finished, last = carry
-        logp, cache = model.decode_step(params, cache, last[:, None], i, src_mask, lin=lin)
+        logp, cache = model.decode_step(params, cache, last[:, None], i, src_mask, lin=lin, fused_attn=fused_attn)
         nxt = jnp.argmax(logp, axis=-1).astype(jnp.int32)
         if stop_at_eos:
             nxt = jnp.where(finished, cfg.pad_id, nxt)
@@ -72,6 +73,7 @@ def greedy_decode_early_exit(
     start_symbol: int = 0,
     lin=default_linear,
     kv_cache_dtype: str = "fp32",
+    fused_attn: bool = False,
 ) -> jax.Array:
     """Greedy decode that stops as soon as every row has emitted EOS
     (lax.while_loop).  Same outputs as :func:`greedy_decode`; ~2-3x less
@@ -90,7 +92,7 @@ def greedy_decode_early_exit(
 
     def body(state):
         i, cache, ys, finished, last = state
-        logp, cache = model.decode_step(params, cache, last[:, None], i, src_mask, lin=lin)
+        logp, cache = model.decode_step(params, cache, last[:, None], i, src_mask, lin=lin, fused_attn=fused_attn)
         nxt = jnp.argmax(logp, axis=-1).astype(jnp.int32)
         nxt = jnp.where(finished, cfg.pad_id, nxt)
         finished = finished | (nxt == cfg.eos_id)
@@ -138,6 +140,7 @@ def beam_decode(
     length_penalty: float = 0.6,
     lin=default_linear,
     kv_cache_dtype: str = "fp32",
+    fused_attn: bool = False,
 ) -> jax.Array:
     """Batched beam search -> best hypothesis ids [B, max_len].
 
@@ -168,7 +171,7 @@ def beam_decode(
     def step(carry, i):
         cache, ys, scores, finished = carry
         last = ys[jnp.arange(b * k), i][:, None]
-        logp, cache = model.decode_step(params, cache, last, i, mask_k, lin=lin)
+        logp, cache = model.decode_step(params, cache, last, i, mask_k, lin=lin, fused_attn=fused_attn)
         v = logp.shape[-1]
         # finished beams only extend with PAD at zero cost
         pad_only = jnp.full((b * k, v), -1e9).at[:, cfg.pad_id].set(0.0)

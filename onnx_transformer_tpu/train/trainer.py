@@ -134,11 +134,6 @@ def shard_state(state_tree: dict, mesh: Mesh) -> dict:
 
     params = jax.tree.map(put, state_tree["params"], pspecs)
 
-    def put_opt(x):
-        # Adam mu/nu have param structure; match by shape against the param
-        # tree when possible, else replicate scalars/counters.
-        return x
-
     # optax's scale_by_adam state holds mu/nu pytrees with the same structure
     # as params — map the same specs over them.
     def shard_opt(o):

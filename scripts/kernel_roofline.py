@@ -29,8 +29,27 @@ jax.config.update("jax_compilation_cache_dir", os.path.join(
 
 from onnx_transformer_tpu.ops.pallas import w8a8_matmul as K
 
-# v5e peak: ~197 TFLOP/s bf16, ~394 TOP/s int8 (2x bf16).
-PEAK_INT8 = 394e12
+# Per-generation int8 peaks (TOP/s); %roofline is meaningless against the
+# wrong chip's peak, so unknown kinds must be given --peak-tops explicitly.
+PEAK_INT8_BY_KIND = {
+    "TPU v4": 275e12,        # bf16 peak; v4 has no int8 doubling
+    "TPU v5 lite": 394e12,   # v5e: ~197 TFLOP/s bf16, 2x for int8
+    "TPU v5e": 394e12,
+    "TPU v5": 459e12 * 2,    # v5p
+    "TPU v5p": 459e12 * 2,
+    "TPU v6 lite": 918e12,   # v6e/Trillium
+    "TPU v6e": 918e12,
+}
+
+
+def peak_for(device_kind: str, override: float | None = None) -> float:
+    if override:
+        return override
+    for k, v in PEAK_INT8_BY_KIND.items():
+        if device_kind.startswith(k):
+            return v
+    raise SystemExit(
+        f"unknown device kind {device_kind!r}: pass --peak-tops explicitly")
 
 
 def _bench_chain(step, carry0, iters: int = 32, reps: int = 3) -> float:
@@ -51,12 +70,13 @@ def _bench_chain(step, carry0, iters: int = 32, reps: int = 3) -> float:
     return float(min(times)) / iters
 
 
-def run(shapes):
+def run(shapes, peak):
     rng = np.random.default_rng(0)
     rows = []
     for m, k, n, tag in shapes:
-        # the kernels keep full K in VMEM; shrink the M block as K grows so
-        # x-block + w-block + double buffering stay under the ~16MB budget
+        # w8a8_matmul K-tiles via block_k; quant_w8a8_matmul still holds full
+        # K in VMEM, so shrink the M block as K grows to keep x-block +
+        # w-block + double buffering under the ~16MB budget
         block_m = 512 if k <= 2048 else 256
         block_n = 512
         xq = jnp.asarray(rng.integers(-127, 128, (m, k)), jnp.int8)
@@ -84,14 +104,14 @@ def run(shapes):
         rows.append({
             "shape": f"{m}x{k}x{n}", "tag": tag,
             "prequant_tops": flops / t_pre / 1e12,
-            "prequant_roofline": flops / t_pre / PEAK_INT8,
+            "prequant_roofline": flops / t_pre / peak,
             "fused_quant_tops": flops / t_fused / 1e12,
-            "fused_quant_roofline": flops / t_fused / PEAK_INT8,
+            "fused_quant_roofline": flops / t_fused / peak,
         })
     return rows
 
 
-def sweep():
+def sweep(peak):
     """Block-size sweep of the pre-quantized kernel on the big shapes."""
     rng = np.random.default_rng(0)
     shapes = [(16384, 4096, 4096), (36864, 512, 4480), (36864, 2048, 512)]
@@ -120,18 +140,22 @@ def sweep():
                 print(f"  bm={bm} bn={bn} bk={bk}: FAIL {str(e)[:80]}")
                 continue
             print(f"  bm={bm} bn={bn} bk={bk}: {flops/t/1e12:7.1f} TOPS "
-                  f"({flops/t/PEAK_INT8*100:5.1f}% roofline)")
+                  f"({flops/t/peak*100:5.1f}% roofline)")
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--json", action="store_true")
     ap.add_argument("--sweep", action="store_true")
+    ap.add_argument("--peak-tops", type=float, default=None,
+                    help="chip int8 peak in TOP/s (required for unknown kinds)")
     args = ap.parse_args()
-    if args.sweep:
-        sweep()
-        return
     dev = jax.devices()[0]
+    peak = peak_for(str(dev.device_kind),
+                    args.peak_tops * 1e12 if args.peak_tops else None)
+    if args.sweep:
+        sweep(peak)
+        return
     b, t = 512, 72  # serving batch x max_len (BASELINE.json config)
     shapes = [
         (b * t, 512, 512, "attn q/k/v/o proj"),
@@ -141,13 +165,13 @@ def main():
         (8192, 2048, 2048, "square 8k*2k*2k"),
         (16384, 4096, 4096, "square 16k*4k*4k (saturating)"),
     ]
-    rows = run(shapes)
-    out = {"device": str(dev.device_kind), "peak_int8_tops": PEAK_INT8 / 1e12,
+    rows = run(shapes, peak)
+    out = {"device": str(dev.device_kind), "peak_int8_tops": peak / 1e12,
            "rows": rows}
     if args.json:
         print(json.dumps(out))
         return
-    print(f"device: {dev.device_kind}  peak int8: {PEAK_INT8/1e12:.0f} TOPS")
+    print(f"device: {dev.device_kind}  peak int8: {peak/1e12:.0f} TOPS")
     print(f"{'shape':>18} {'tag':<28} {'pre-q TOPS':>10} {'%roof':>6} "
           f"{'fused TOPS':>10} {'%roof':>6}")
     for r in rows:

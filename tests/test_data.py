@@ -124,3 +124,25 @@ def test_real_data_loads_if_present():
     src, tgt = DS.collate(pairs[:4], vs, vt, 72)
     assert src.shape == (4, 72)
     assert (src[:, 0] == V.BOS_ID).all()
+
+
+def test_token_budget_sharded_lockstep():
+    """Token-budget bucketing with num_shards>1 must give every shard the
+    SAME number of steps with the SAME bucket shape at each step (lockstep
+    multi-host DP: per-bucket compiled shapes may not diverge across hosts),
+    and no example may appear on two shards."""
+    v = V.Vocab(V.SPECIALS + ["b"] + [f"w{i}" for i in range(512)])
+    pairs = [(f"w{i} " * (i % 14 + 1), "b " * (i % 9 + 1)) for i in range(512)]
+    loaders = [
+        DS.BucketedLoader(
+            pairs, v, v, max_padding=16, seed=3, token_budget=128,
+            length_buckets=(8, 12, 16), num_shards=2, shard_index=s)
+        for s in range(2)
+    ]
+    b0 = list(loaders[0])
+    b1 = list(loaders[1])
+    assert len(b0) == len(b1) > 0
+    assert len(b0) == len(loaders[0])  # __len__ exact in the sharded mode
+    for x, y in zip(b0, b1):
+        assert x.src.shape == y.src.shape  # identical compile shape per step
+        assert not np.array_equal(x.src, y.src)  # but disjoint data

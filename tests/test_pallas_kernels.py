@@ -75,3 +75,62 @@ def test_w8a8_matmul_k_tiled(k, block_k):
                     interpret=True)
     )
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-4)
+
+
+# ----------------------------------------------------- fused decode attention
+
+from onnx_transformer_tpu.ops.pallas.attention import (  # noqa: E402
+    decode_attention_int8,
+    decode_attention_int8_oracle,
+)
+
+
+def _attn_case(b=5, h=8, t=72, dk=64, seed=0):
+    rng = np.random.default_rng(seed)
+    q = rng.normal(size=(b, h, dk)).astype(np.float32)
+    kq = rng.integers(-127, 128, (b, h, t, dk)).astype(np.int8)
+    vq = rng.integers(-127, 128, (b, h, t, dk)).astype(np.int8)
+    ks = rng.uniform(0.001, 0.05, (b, t)).astype(np.float32)
+    vs = rng.uniform(0.001, 0.05, (b, t)).astype(np.float32)
+    # ragged per-row visibility (decode positions differ across rows)
+    lens = rng.integers(1, t + 1, b)
+    mask = (np.arange(t)[None, :] < lens[:, None])
+    return tuple(jnp.asarray(a) for a in (q, kq, ks, vq, vs, mask))
+
+
+@pytest.mark.parametrize("quantize", [True, False])
+def test_decode_attention_int8_matches_oracle(quantize):
+    args = _attn_case()
+    got = np.array(decode_attention_int8(*args, quantize=quantize, interpret=True))
+    want = np.array(decode_attention_int8_oracle(*args, quantize=quantize))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
+def test_decode_attention_int8_block_padding():
+    """B not a multiple of block_b exercises the pad/slice path."""
+    args = _attn_case(b=3)
+    got = np.array(decode_attention_int8(*args, block_b=8, interpret=True))
+    want = np.array(decode_attention_int8_oracle(*args))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
+def test_fused_decode_end_to_end_matches_jnp_path():
+    """greedy_decode(fused_attn=True) must emit the identical trajectory to
+    the jnp int8-cache path (which is itself parity-tested vs no-cache)."""
+    from onnx_transformer_tpu.models.transformer import Transformer, TransformerConfig
+    from onnx_transformer_tpu.quant import w8a8 as W
+    from onnx_transformer_tpu.serving import decode as D
+    from onnx_transformer_tpu.ops import layers as L
+
+    cfg = TransformerConfig(97, 89, num_layers=2, d_model=64, d_ff=128,
+                            num_heads=4, dropout=0.0)
+    model = Transformer(cfg)
+    params = model.init(jax.random.key(0))
+    _, lin8 = W.quantize_transformer(model, params, mode="int8")
+    src = jnp.asarray(np.random.default_rng(1).integers(3, 90, (4, 9)))
+    sm = L.make_src_mask(src)
+    ys_jnp = D.greedy_decode(model, params, src, sm, 12, lin=lin8,
+                             kv_cache_dtype="int8")
+    ys_fused = D.greedy_decode(model, params, src, sm, 12, lin=lin8,
+                               kv_cache_dtype="int8", fused_attn=True)
+    np.testing.assert_array_equal(np.array(ys_jnp), np.array(ys_fused))
