@@ -61,9 +61,17 @@ def export_model(
     src_len: int = 72,
     max_len: int = 72,
     lin=default_linear,
+    mode: str = "fp32",
+    kv_cache_dtype: str = "fp32",
+    fused_attn: bool = False,
 ) -> ExportBundle:
     """Export encoder / cached-decode-step / full-greedy graphs per batch
-    bucket (reference: export_encoder/export_decoder, encoder_decoder.py:31-52)."""
+    bucket (reference: export_encoder/export_decoder, encoder_decoder.py:31-52).
+
+    For quantized exports pass the quantized ``lin`` impl (its int8 weight
+    payloads are baked into the graph as constants — the serve-format
+    analogue of the reference's QCDQ initializers) together with the
+    SmoothQuant-migrated params, plus ``mode`` for the manifest."""
     cfg = model.cfg
     bundle = ExportBundle(out_dir)
     os.makedirs(out_dir, exist_ok=True)
@@ -81,7 +89,9 @@ def export_model(
 
         def greedy_fn(params, src, src_mask):
             from onnx_transformer_tpu.serving.decode import greedy_decode
-            return greedy_decode(model, params, src, src_mask, max_len, lin=lin)
+            return greedy_decode(model, params, src, src_mask, max_len, lin=lin,
+                                 kv_cache_dtype=kv_cache_dtype,
+                                 fused_attn=fused_attn)
 
         dec = _export_fn(greedy_fn, (params, src_s, mask_s))
         bundle._write(f"greedy_b{b}.shlo", dec)
@@ -95,6 +105,8 @@ def export_model(
     bundle.manifest({
         "format": "stablehlo/jax.export",
         "model": "iwslt14-encdec",
+        "mode": mode,
+        "kv_cache_dtype": kv_cache_dtype,
         "config": {
             "src_vocab_size": cfg.src_vocab_size,
             "tgt_vocab_size": cfg.tgt_vocab_size,

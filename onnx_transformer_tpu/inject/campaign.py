@@ -42,9 +42,31 @@ FAULT_MODELS = ("INPUT", "WEIGHT", "INPUT16", "WEIGHT16", "RANDOM", "RANDOM_BITF
 _FM = {name: i for i, name in enumerate(FAULT_MODELS)}
 
 
+def attention_matmul_names(num_layers: int) -> list[str]:
+    """Injectable attention bmm targets — the reference's First/SecondMatMul
+    JSON descriptors (``input/encoder/matmul_3.json`` names the QK^T node,
+    ``matmul_4`` the probs x V node; decoder adds the cross-attn pair)."""
+    out = []
+    for i in range(num_layers):
+        out += [f"encoder.layers.{i}.self_attn.qk_matmul",
+                f"encoder.layers.{i}.self_attn.av_matmul"]
+    for i in range(num_layers):
+        for att in ("self_attn", "src_attn"):
+            out += [f"decoder.layers.{i}.{att}.qk_matmul",
+                    f"decoder.layers.{i}.{att}.av_matmul"]
+    return out
+
+
+def _ids_from_keys(payload_keys, num_layers: int) -> dict[str, int]:
+    names = sorted(payload_keys) + sorted(attention_matmul_names(num_layers))
+    return {name: i for i, name in enumerate(names)}
+
+
 def target_ids(model: Transformer) -> dict[str, int]:
-    """Stable name -> integer id for every injectable linear."""
-    return {name: i for i, name in enumerate(sorted(quantized_linear_names(model.cfg.num_layers)))}
+    """Stable name -> integer id for every injectable target: the 96
+    quantized linears plus the 36 attention bmms."""
+    return _ids_from_keys(quantized_linear_names(model.cfg.num_layers),
+                          model.cfg.num_layers)
 
 
 @dataclass
@@ -170,9 +192,100 @@ def make_fault_linear_impl(
         y = L.tap(f"{name}.out", y, taps, inject)
         if is_quantized_output(name):
             y = Q.fake_quant_act_per_token(y, bits)
+            # attention bmm operand seam: q/k/v int8 representations
+            y = L.tap(f"{name}.out_q", y, taps, inject)
         return y
 
     return lin
+
+
+def _flip_int_grid(x, fault, kind: str, scale=None, bits: int = 8, wide: bool = False,
+                   width: int = 16):
+    """Int-domain bit flip of a fake-quantized fp tensor: recover the int
+    representation on its grid, flip, dequantise (perturb_quantizer
+    semantics, inject_utils/layers.py:87-142).  ``scale=None`` recomputes the
+    per-token absmax scale — exact for absmax-quantized tensors (their max
+    element sits at +-qmax, so the recomputed scale equals the original)."""
+    s = Q.act_scale_per_token(x, bits) if scale is None else scale
+    q = jnp.round(x / s).astype(jnp.int8)
+    if wide:
+        rows = q.reshape(-1, q.shape[-1])
+        rowmask = jax.lax.broadcasted_iota(jnp.int32, rows.shape, 0) == fault["row"]
+        colpos = jax.lax.broadcasted_iota(jnp.int32, rows.shape, 1)
+        colmask = (colpos >= fault["col"]) & (colpos < fault["col"] + width)
+        q = jnp.where(rowmask & colmask,
+                      _flip_bit_traced(rows, fault["bit"], kind), rows).reshape(q.shape)
+    else:
+        q = _apply_elem(q, fault["element"],
+                        lambda v: _flip_bit_traced(v, fault["bit"], kind))
+    return q.astype(jnp.float32) * s
+
+
+def make_fault_inject(
+    num_layers: int,
+    ids: dict[str, int],
+    fault: dict,
+    active,
+    bits: int = 8,
+) -> dict:
+    """Inject dict instrumenting the attention bmm operand/output taps.
+
+    Fault-model -> operand routing per matmul (matching which ONNX tensor the
+    reference JSON names as input/weight of the target node):
+
+      qk_matmul: INPUT(16) -> q int8 (the q-projection's quantized output),
+                 WEIGHT(16) -> k int8, RANDOM* -> scores fp32 output.
+      av_matmul: INPUT(16) -> probs on the 1/127 grid, WEIGHT(16) -> v int8,
+                 RANDOM* -> context fp32 output.
+
+    Every tap routes through a parameterised hit test, so ONE compiled
+    program serves all targets (clean when ``active`` is False).
+    """
+    kind = "int8" if bits == 8 else "int4"
+    fm = fault["model"]
+    inject: dict = {}
+
+    def op_fault(x, tid, models, scale=None):
+        hit = active & (fault["target"] == tid)
+        x = jnp.where(
+            hit & (fm == _FM[models[0]]),
+            _flip_int_grid(x, fault, kind, scale, bits),
+            x,
+        )
+        return jnp.where(
+            hit & (fm == _FM[models[1]]),
+            _flip_int_grid(x, fault, kind, scale, bits, wide=True),
+            x,
+        )
+
+    def out_fault(x, tid):
+        hit = active & (fault["target"] == tid)
+        x = jnp.where(hit & (fm == _FM["RANDOM"]),
+                      B.set_random_value(x, fault["rng"]), x)
+        return jnp.where(
+            hit & (fm == _FM["RANDOM_BITFLIP"]),
+            _apply_elem(x, fault["element"],
+                        lambda v: _flip_f32_traced(v, fault["bit"])),
+            x,
+        )
+
+    attns = [f"encoder.layers.{i}.self_attn" for i in range(num_layers)]
+    attns += [f"decoder.layers.{i}.{a}" for i in range(num_layers)
+              for a in ("self_attn", "src_attn")]
+    for nm in attns:
+        qk, av = ids[f"{nm}.qk_matmul"], ids[f"{nm}.av_matmul"]
+        inject[f"{nm}.linears.0.out_q"] = partial(
+            op_fault, tid=qk, models=("INPUT", "INPUT16"))
+        inject[f"{nm}.linears.1.out_q"] = partial(
+            op_fault, tid=qk, models=("WEIGHT", "WEIGHT16"))
+        inject[f"{nm}.linears.2.out_q"] = partial(
+            op_fault, tid=av, models=("WEIGHT", "WEIGHT16"))
+        inject[f"{nm}.probs"] = partial(
+            op_fault, tid=av, models=("INPUT", "INPUT16"),
+            scale=jnp.float32(1.0 / 127.0))
+        inject[f"{nm}.scores"] = partial(out_fault, tid=qk)
+        inject[f"{nm}.context"] = partial(out_fault, tid=av)
+    return inject
 
 
 @partial(jax.jit, static_argnums=(0, 1, 5, 8))
@@ -192,11 +305,12 @@ def faulty_greedy_decode(
     Encoder-target faults fire during encode; decoder-target faults fire at
     decode step ``fault['step']``.  ``fault['enabled']`` False == golden run.
     """
-    ids = {name: i for i, name in enumerate(sorted(payload_keys))}
+    ids = _ids_from_keys(payload_keys, model.cfg.num_layers)
     enc_active = fault["enabled"] & fault["is_encoder"]
 
     lin_enc = make_fault_linear_impl(payloads, ids, fault, enc_active, bits)
-    memory = model.encode(params, src, src_mask, lin=lin_enc)
+    inj_enc = make_fault_inject(model.cfg.num_layers, ids, fault, enc_active, bits)
+    memory = model.encode(params, src, src_mask, lin=lin_enc, inject=inj_enc)
     cache = model.init_cache(params, memory, max_len, lin=make_fault_linear_impl(
         payloads, ids, fault, jnp.bool_(False), bits))
 
@@ -210,7 +324,9 @@ def faulty_greedy_decode(
         cache, ys, finished, last = carry
         dec_active = fault["enabled"] & (~fault["is_encoder"]) & (i == fault["step"])
         lin_i = make_fault_linear_impl(payloads, ids, fault, dec_active, bits)
-        logp, cache = model.decode_step(params, cache, last[:, None], i, src_mask, lin=lin_i)
+        inj_i = make_fault_inject(model.cfg.num_layers, ids, fault, dec_active, bits)
+        logp, cache = model.decode_step(params, cache, last[:, None], i, src_mask,
+                                        lin=lin_i, inject=inj_i)
         nxt = jnp.argmax(logp, -1).astype(jnp.int32)
         nxt = jnp.where(finished, cfg.pad_id, nxt)
         finished = finished | (nxt == cfg.eos_id)
@@ -221,6 +337,93 @@ def faulty_greedy_decode(
         step, (cache, ys, finished, ys[:, 0]), jnp.arange(max_len - 1)
     )
     return ys
+
+
+@partial(jax.jit, static_argnums=(0, 1, 5, 8))
+def faulty_greedy_decode_batch(
+    model: Transformer,
+    payload_keys: tuple,
+    params,
+    payloads,
+    faults,          # stacked fault pytree with a leading experiment axis
+    max_len: int,
+    src,
+    src_mask,
+    bits: int = 8,
+):
+    """vmap fan-out: E experiments in one dispatch -> ids [E, B, max_len].
+
+    The TPU-native replacement for the reference's multiprocessing.Pool
+    fan-out (parallelized_inject_onnx_transformer.py:493,796): the fault
+    scalars gain a leading axis and the whole campaign batch rides one XLA
+    program — on-device parallelism instead of process parallelism.
+    """
+    return jax.vmap(
+        lambda f: faulty_greedy_decode(model, payload_keys, params, payloads,
+                                       f, max_len, src, src_mask, bits)
+    )(faults)
+
+
+# ------------------------------------------------ reference JSON descriptors
+
+def reference_matmul_to_target(module: str, target_layer: str) -> str:
+    """Map a reference ``input/*.json`` descriptor to our target name.
+
+    The reference names ONNX MatMul nodes in topological order
+    (``input/encoder/matmul_3.json:1-9``): encoder layer i owns nodes
+    3+8i (QK^T), 4+8i (probs x V), 6+8i (FFN w1), 7+8i (FFN w2); decoder
+    layer i owns 15+12i/16+12i (self-attn pair), 19+12i/20+12i (cross-attn
+    pair), 22+12i/23+12i (FFN).  The ``module`` tag gives the kind; the
+    index arithmetic gives the layer and self-vs-cross.
+    """
+    n = int(target_layer.rsplit("_", 1)[1])
+    kind_by_tag = {"FirstFC": "feed_forward.w_1", "SecondFC": "feed_forward.w_2",
+                   "FirstMatMul": "qk_matmul", "SecondMatMul": "av_matmul"}
+    side, tag = module.split("/")
+    kind = kind_by_tag[tag]
+    if side == "Encoder":
+        i = (n - 3) // 8
+        if "matmul" in kind:
+            kind = f"self_attn.{kind}"
+        return f"encoder.layers.{i}.{kind}"
+    i, o = divmod(n - 15, 12)
+    if "matmul" in kind:
+        attn = "self_attn" if o in (0, 1) else "src_attn"
+        kind = f"{attn}.{kind}"
+    return f"decoder.layers.{i}.{kind}"
+
+
+def specs_from_reference_jsons(
+    path,
+    fault_models: Sequence[str] = FAULT_MODELS,
+    bit_positions: Sequence[int] = range(8),
+    inject_step: int = 0,
+    seed: int = 0,
+) -> list[FaultSpec]:
+    """Ingest reference campaign descriptors: a JSON file, a directory of
+    them (``input/encoder``), or a list of paths.  Expands each target over
+    ``fault_models x bit_positions`` exactly like the reference driver
+    (parallelized_inject_onnx_transformer.py:803-859)."""
+    import json
+
+    if isinstance(path, (list, tuple)):
+        files = [str(p) for p in path]
+    elif os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, f) for f in os.listdir(path) if f.endswith(".json"))
+    else:
+        files = [str(path)]
+    specs = []
+    for i, fp in enumerate(files):
+        with open(fp) as f:
+            d = json.load(f)
+        target = reference_matmul_to_target(d["module"], d["target_layer"])
+        for fm in fault_models:
+            for bit in bit_positions:
+                specs.append(FaultSpec(
+                    target=target, fault_model=fm, bit=bit,
+                    seed=seed + i, inject_step=inject_step))
+    return specs
 
 
 def _fault_tree(spec: Optional[FaultSpec], ids: dict[str, int]) -> dict:
@@ -256,15 +459,16 @@ def run_campaign(
     bits: int = 8,
     csv_path: Optional[str] = None,
     log_fn=None,
+    fanout: int = 8,
 ) -> CampaignResult:
-    """Golden decode once, then one faulty decode per spec — all through the
-    same compiled executable.  Writes the reference-compatible CSV schema
-    (layer, golden_bleu, faulty_bleu, bit, fault_model;
-    results_fault_injection/results.csv)."""
+    """Golden decode once, then faulty decodes in vmapped groups of
+    ``fanout`` — the whole sweep reuses ONE compiled executable.  Writes the
+    reference-compatible CSV schema (layer, golden_bleu, faulty_bleu, bit,
+    fault_model; results_fault_injection/results.csv)."""
     from onnx_transformer_tpu.evaluation.bleu import sentence_bleu
     from onnx_transformer_tpu.serving.decode import ids_to_tokens
 
-    ids = {name: i for i, name in enumerate(sorted(payloads))}
+    ids = _ids_from_keys(sorted(payloads), model.cfg.num_layers)
     keys = tuple(sorted(payloads))
     src = jnp.asarray(src)
     src_mask = jnp.asarray(src_mask)
@@ -287,28 +491,37 @@ def run_campaign(
         writer = csv.writer(f)
         writer.writerow(["layer", "golden_bleu", "faulty_bleu", "bit", "fault_model"])
 
-    for spec in specs:
-        faulty = np.array(
-            faulty_greedy_decode(model, keys, params, payloads,
-                                 _fault_tree(spec, ids), max_len, src, src_mask, bits)
+    specs = list(specs)
+    for start in range(0, len(specs), fanout):
+        group = specs[start : start + fanout]
+        # pad the last group with disabled (golden) specs: constant E keeps
+        # one compiled executable for the whole sweep
+        padded = group + [None] * (fanout - len(group))
+        trees = [_fault_tree(s, ids) for s in padded]
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+        outs = np.array(
+            faulty_greedy_decode_batch(model, keys, params, payloads,
+                                       stacked, max_len, src, src_mask, bits)
         )
-        faulty_toks = ids_to_tokens(faulty, vocab_tgt)
-        for gi, (r, h) in enumerate(zip(references, faulty_toks)):
-            fb = sentence_bleu([list(r)], h, smoothing="method4")
-            row = {
-                "layer": spec.target,
-                "golden_bleu": golden_bleus[gi],
-                "faulty_bleu": fb,
-                "bit": spec.bit,
-                "fault_model": spec.fault_model,
-                "tokens_changed": B.count_mismatches(golden[gi], faulty[gi]),
-            }
-            result.rows.append(row)
-            if writer:
-                writer.writerow([row["layer"], row["golden_bleu"], row["faulty_bleu"],
-                                 row["bit"], row["fault_model"]])
+        for spec, faulty in zip(group, outs):
+            faulty_toks = ids_to_tokens(faulty, vocab_tgt)
+            for gi, (r, h) in enumerate(zip(references, faulty_toks)):
+                fb = sentence_bleu([list(r)], h, smoothing="method4")
+                row = {
+                    "layer": spec.target,
+                    "golden_bleu": golden_bleus[gi],
+                    "faulty_bleu": fb,
+                    "bit": spec.bit,
+                    "fault_model": spec.fault_model,
+                    "tokens_changed": B.count_mismatches(golden[gi], faulty[gi]),
+                }
+                result.rows.append(row)
+                if writer:
+                    writer.writerow([row["layer"], row["golden_bleu"],
+                                     row["faulty_bleu"], row["bit"],
+                                     row["fault_model"]])
         if log_fn:
-            log_fn(f"{spec.target} {spec.fault_model} bit={spec.bit} done")
+            log_fn(f"{len(result.rows)} rows / {start + len(group)} specs done")
 
     if writer:
         f.close()

@@ -75,6 +75,28 @@ def default_linear(
     return L.tap(name + ".out", y, taps, inject)
 
 
+def _cache_update(buf: jax.Array, new: jax.Array, idx) -> jax.Array:
+    """Write ``new`` [B,H,1,dk] into ``buf`` [B,H,T,dk] at time ``idx`` —
+    a scalar (lockstep batch decode) or a [B] vector of per-row positions
+    (continuous batching)."""
+    idx = jnp.asarray(idx)
+    if idx.ndim == 0:
+        return jax.lax.dynamic_update_slice(buf, new, (0, 0, idx, 0))
+    return jax.vmap(
+        lambda c, n, i: jax.lax.dynamic_update_slice(c, n, (0, i, 0))
+    )(buf, new, idx)
+
+
+def _scale_update(buf: jax.Array, new: jax.Array, idx) -> jax.Array:
+    """Same for per-token scale buffers: buf [B,T,1], new [B,1,1]."""
+    idx = jnp.asarray(idx)
+    if idx.ndim == 0:
+        return jax.lax.dynamic_update_slice(buf, new, (0, idx, 0))
+    return jax.vmap(
+        lambda c, n, i: jax.lax.dynamic_update_slice(c, n, (i, 0))
+    )(buf, new, idx)
+
+
 class _RngSource:
     """Hands out per-site dropout keys deterministically during tracing."""
 
@@ -247,16 +269,14 @@ class Transformer:
 
                 kq, ks = quantize_act_per_token(kfull)  # [B,1,D] int8, [B,1,1]
                 vq, vs = quantize_act_per_token(vfull)
-                cache_q_k = L.split_heads(kq, h)
-                cache_q_v = L.split_heads(vq, h)
-                self_cache["k"] = jax.lax.dynamic_update_slice(
-                    self_cache["k"], cache_q_k, (0, 0, cache_index, 0))
-                self_cache["v"] = jax.lax.dynamic_update_slice(
-                    self_cache["v"], cache_q_v, (0, 0, cache_index, 0))
-                self_cache["k_scale"] = jax.lax.dynamic_update_slice(
-                    self_cache["k_scale"], ks[:, :, 0][:, None, :], (0, cache_index, 0))
-                self_cache["v_scale"] = jax.lax.dynamic_update_slice(
-                    self_cache["v_scale"], vs[:, :, 0][:, None, :], (0, cache_index, 0))
+                self_cache["k"] = _cache_update(
+                    self_cache["k"], L.split_heads(kq, h), cache_index)
+                self_cache["v"] = _cache_update(
+                    self_cache["v"], L.split_heads(vq, h), cache_index)
+                self_cache["k_scale"] = _scale_update(
+                    self_cache["k_scale"], ks, cache_index)
+                self_cache["v_scale"] = _scale_update(
+                    self_cache["v_scale"], vs, cache_index)
                 if use_fused:
                     return _fused(self_cache["k"], self_cache["k_scale"],
                                   self_cache["v"], self_cache["v_scale"])
@@ -268,8 +288,8 @@ class Transformer:
                 v = L.split_heads(vfull, h)
                 if self_cache is not None:
                     # write this step's k/v into the cache, attend over the prefix
-                    k = jax.lax.dynamic_update_slice(self_cache["k"], k, (0, 0, cache_index, 0))
-                    v = jax.lax.dynamic_update_slice(self_cache["v"], v, (0, 0, cache_index, 0))
+                    k = _cache_update(self_cache["k"], k, cache_index)
+                    v = _cache_update(self_cache["v"], v, cache_index)
                     self_cache["k"], self_cache["v"] = k, v
         ctx = L.scaled_dot_attention(
             q, k, v, mask,
@@ -581,12 +601,21 @@ class Transformer:
         inject: L.InjectDict = None,
         fused_attn: bool = False,
     ) -> tuple[jax.Array, dict]:
-        """One KV-cached decoder step -> (next-token log-probs [B, V], cache)."""
+        """One KV-cached decoder step -> (next-token log-probs [B, V], cache).
+
+        ``index`` is the write/attend position of ``tok``: a scalar for
+        lockstep batch decode, or a [B] vector of per-row positions
+        (continuous batching — every slot sits at its own step).
+        """
         max_len = cache["layers"][0]["k"].shape[2]
         # attend over cache positions <= index
         pos = jnp.arange(max_len)
-        step_mask = (pos <= index)[None, None, :]  # [1,1,Tmax]
-        step_mask = jnp.broadcast_to(step_mask, (tok.shape[0], 1, max_len))
+        idx = jnp.asarray(index)
+        if idx.ndim == 1:
+            step_mask = pos[None, None, :] <= idx[:, None, None]  # [B,1,Tmax]
+        else:
+            step_mask = (pos <= idx)[None, None, :]  # [1,1,Tmax]
+            step_mask = jnp.broadcast_to(step_mask, (tok.shape[0], 1, max_len))
         # local copy of per-layer dicts so updates stay functional
         cache = {"layers": [dict(lc) for lc in cache["layers"]]}
         h = self.decode(

@@ -84,11 +84,16 @@ def _pe_table(max_len: int, d_model: int) -> np.ndarray:
 
 
 def positional_encoding(x: jax.Array, offset: int | jax.Array = 0, max_len: int = 5000):
-    """Additive sinusoidal PE; ``offset`` supports KV-cached single-token decode."""
+    """Additive sinusoidal PE; ``offset`` supports KV-cached single-token
+    decode — a scalar for lockstep batches, or a [B] vector of per-row
+    positions (continuous batching: each slot is at its own decode step)."""
     pe = jnp.asarray(_pe_table(max_len, x.shape[-1]), dtype=x.dtype)
     t = x.shape[-2]
     if isinstance(offset, (int, np.integer)) and offset == 0:
         return x + pe[:t]
+    offset = jnp.asarray(offset)
+    if offset.ndim == 1:  # per-row offsets, single-token step
+        return x + jnp.take(pe, offset, axis=0)[:, None, :]
     return x + jax.lax.dynamic_slice_in_dim(pe, offset, t, axis=0)
 
 

@@ -1,4 +1,4 @@
-"""Continuous-batching translation engine.
+"""Continuous-batching translation engine (single chip or TP mesh).
 
 The reference serves strictly batch-1, re-executing the decoder graph per
 token (``onnx_optimized_custom_inference.py:624-671``).  This engine keeps a
@@ -13,16 +13,22 @@ fixed pool of decode *slots* resident on device:
 - finished slots are harvested and refilled without stopping the others —
   continuous batching, not static batching.
 
-The per-slot decode reuses ``Transformer.decode_step`` under ``jax.vmap``:
-each slot is a batch-1 decode with its own cache/position/mask, and vmap
-fuses them into the same batched MXU matmuls a static batch would use.
+The slot pool IS the batch: ``decode_step`` takes a [B] vector of per-row
+positions, so all slots advance in one batched MXU program — no per-slot
+vmap, which also lets the fused int8 attention kernel and TP sharding apply
+directly.
+
+Tensor parallelism: pass ``mesh`` (a Mesh with a ``model`` axis) and the
+engine shards the weights Megatron-style (``parallel/sharding.py``) and the
+KV cache over heads; XLA inserts the all-reduces after the row-parallel
+matmuls, riding ICI.  This is the BASELINE config-5 serving shape: weights
+and KV cache tensor-sharded over the mesh with continuous batching on top.
 """
 
 from __future__ import annotations
 
 import itertools
 from dataclasses import dataclass, field
-from functools import partial
 from typing import Callable, Optional
 
 import jax
@@ -30,7 +36,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from onnx_transformer_tpu.models.transformer import Transformer, default_linear
-from onnx_transformer_tpu.ops import layers as L
 
 
 @dataclass
@@ -52,15 +57,23 @@ class TranslationEngine:
         max_len: int = 72,
         chunk_steps: int = 16,
         kv_cache_dtype: str = "fp32",
+        fused_attn: bool = False,
+        mesh=None,
     ):
         self.model = model
-        self.params = params
         self.lin = lin
         self.B = num_slots
         self.S = src_len
         self.T = max_len
         self.chunk = chunk_steps
         self.kv_dtype = kv_cache_dtype
+        self.fused_attn = fused_attn
+        self.mesh = mesh
+        if mesh is not None:
+            from onnx_transformer_tpu.parallel.sharding import shard_params
+
+            params = shard_params(params, mesh)
+        self.params = params
         cfg = model.cfg
         self._ids = itertools.count()
         self._queue: list[Request] = []
@@ -77,11 +90,11 @@ class TranslationEngine:
             cache1 = m.init_cache(params, memory, self.T, lin=self.lin,
                                   cache_dtype=self.kv_dtype)
             new_cache = jax.tree.map(
-                lambda big, one: big.at[slot].set(one), state["cache"], cache1
+                lambda big, one: big.at[slot].set(one[0]), state["cache"], cache1
             )
             return {
                 "cache": new_cache,
-                "src_mask": state["src_mask"].at[slot].set(src_mask),
+                "src_mask": state["src_mask"].at[slot].set(src_mask[0]),
                 "tok": state["tok"].at[slot].set(cfg.bos_id),
                 "pos": state["pos"].at[slot].set(0),
                 "live": state["live"].at[slot].set(True),
@@ -90,20 +103,18 @@ class TranslationEngine:
                 ),
             }
 
-        def one_step(params, cache_row, tok, pos, smask_row):
-            logp, cache_row = m.decode_step(
-                params, cache_row, tok[None, None], pos, smask_row, lin=self.lin
-            )
-            return jnp.argmax(logp[0], -1).astype(jnp.int32), cache_row
-
         def chunk_fn(params, state):
-            """Advance all live slots `chunk` steps on device."""
+            """Advance all live slots `chunk` steps on device — ONE batched
+            decode_step per tick over the whole slot pool, each slot at its
+            own position."""
 
             def body(st, k):
-                nxt, cache = jax.vmap(
-                    lambda c, t, p, sm: one_step(params, c, t, p, sm)
-                )(st["cache"], st["tok"], st["pos"], st["src_mask"])
                 live = st["live"]
+                logp, cache = m.decode_step(
+                    params, st["cache"], st["tok"][:, None], st["pos"],
+                    st["src_mask"], lin=self.lin, fused_attn=self.fused_attn,
+                )
+                nxt = jnp.argmax(logp, -1).astype(jnp.int32)
                 nxt = jnp.where(live, nxt, cfg.pad_id)
                 # record at pos+1 (pos 0 is implicit BOS)
                 out = jax.vmap(
@@ -143,33 +154,52 @@ class TranslationEngine:
             if self.kv_dtype == "int8":
                 layers.append(
                     {
-                        "k": jnp.zeros((self.B, 1, h, self.T, dk), jnp.int8),
-                        "v": jnp.zeros((self.B, 1, h, self.T, dk), jnp.int8),
-                        "k_scale": jnp.zeros((self.B, 1, self.T, 1), jnp.float32),
-                        "v_scale": jnp.zeros((self.B, 1, self.T, 1), jnp.float32),
-                        "cross_k": jnp.zeros((self.B, 1, h, self.S, dk), jnp.int8),
-                        "cross_v": jnp.zeros((self.B, 1, h, self.S, dk), jnp.int8),
-                        "cross_k_scale": jnp.zeros((self.B, 1, self.S, 1), jnp.float32),
-                        "cross_v_scale": jnp.zeros((self.B, 1, self.S, 1), jnp.float32),
+                        "k": jnp.zeros((self.B, h, self.T, dk), jnp.int8),
+                        "v": jnp.zeros((self.B, h, self.T, dk), jnp.int8),
+                        "k_scale": jnp.zeros((self.B, self.T, 1), jnp.float32),
+                        "v_scale": jnp.zeros((self.B, self.T, 1), jnp.float32),
+                        "cross_k": jnp.zeros((self.B, h, self.S, dk), jnp.int8),
+                        "cross_v": jnp.zeros((self.B, h, self.S, dk), jnp.int8),
+                        "cross_k_scale": jnp.zeros((self.B, self.S, 1), jnp.float32),
+                        "cross_v_scale": jnp.zeros((self.B, self.S, 1), jnp.float32),
                     }
                 )
             else:
                 layers.append(
                     {
-                        "k": jnp.zeros((self.B, 1, h, self.T, dk), dt),
-                        "v": jnp.zeros((self.B, 1, h, self.T, dk), dt),
-                        "cross_k": jnp.zeros((self.B, 1, h, self.S, dk), dt),
-                        "cross_v": jnp.zeros((self.B, 1, h, self.S, dk), dt),
+                        "k": jnp.zeros((self.B, h, self.T, dk), dt),
+                        "v": jnp.zeros((self.B, h, self.T, dk), dt),
+                        "cross_k": jnp.zeros((self.B, h, self.S, dk), dt),
+                        "cross_v": jnp.zeros((self.B, h, self.S, dk), dt),
                     }
                 )
-        return {
+        state = {
             "cache": {"layers": layers},
-            "src_mask": jnp.zeros((self.B, 1, 1, self.S), bool),
+            "src_mask": jnp.zeros((self.B, 1, self.S), bool),
             "tok": jnp.zeros((self.B,), jnp.int32),
             "pos": jnp.zeros((self.B,), jnp.int32),
             "live": jnp.zeros((self.B,), bool),
             "out": jnp.full((self.B, self.T), self.model.cfg.pad_id, jnp.int32),
         }
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from onnx_transformer_tpu.parallel.mesh import MODEL_AXIS
+
+            def put(x, spec):
+                return jax.device_put(x, NamedSharding(self.mesh, spec))
+
+            # KV tensors shard over heads on the model axis; scales/masks/
+            # counters replicate (tiny)
+            for lc in state["cache"]["layers"]:
+                for key in ("k", "v", "cross_k", "cross_v"):
+                    lc[key] = put(lc[key], P(None, MODEL_AXIS, None, None))
+                for key in lc:
+                    if key.endswith("_scale"):
+                        lc[key] = put(lc[key], P())
+            for key in ("src_mask", "tok", "pos", "live", "out"):
+                state[key] = put(state[key], P())
+        return state
 
     def submit(self, src_ids: np.ndarray) -> int:
         """Queue one request (padded token ids [S]); returns request id."""

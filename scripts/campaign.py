@@ -46,6 +46,15 @@ def main():
     ap.add_argument("--max-len", type=int, default=64)
     ap.add_argument("--out", default="results_fault_injection/results.csv")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--fanout", type=int, default=8,
+                    help="experiments per vmapped dispatch (on-device "
+                         "replacement for the reference's process Pool)")
+    ap.add_argument("--from-json", default=None,
+                    help="reference input/*.json descriptor file or directory "
+                         "(e.g. /root/reference/input/encoder); overrides "
+                         "--module target enumeration")
+    ap.add_argument("--attention-targets", action="store_true",
+                    help="also sweep the attention QK^T/AV bmm targets")
     args = ap.parse_args()
 
     if args.cpu:
@@ -64,11 +73,6 @@ def main():
         params = smooth_params(params, load_reference_scales(args.scales))
     payloads = W.quantize_model_params(model, params)
 
-    targets = sorted(payloads)
-    if args.module != "all":
-        targets = [t for t in targets if t.startswith(args.module)]
-    if args.layers_limit:
-        targets = targets[: args.layers_limit]
     fault_models = args.fault_models.split(",")
     bits = [int(b) for b in args.bits.split(",")]
 
@@ -78,24 +82,42 @@ def main():
     refs = [t.split() for _, t in pairs]
 
     rng = np.random.default_rng(0)
-    specs = []
-    for t in targets:
-        for fm in fault_models:
-            for bit in bits if fm not in ("RANDOM",) else [0]:
-                specs.append(C.FaultSpec(
-                    target=t, fault_model=fm, bit=bit,
-                    element=int(rng.integers(0, 512)),
-                    row=int(rng.integers(0, 8)), col=int(rng.integers(0, 256)),
-                    seed=int(rng.integers(0, 1 << 31)),
-                    inject_step=args.inject_step,
-                ))
+    if args.from_json:
+        specs = C.specs_from_reference_jsons(
+            args.from_json, fault_models=fault_models, bit_positions=bits,
+            inject_step=args.inject_step)
+        for s in specs:  # randomised fault sites, like the direct sweep
+            s.element = int(rng.integers(0, 512))
+            s.row = int(rng.integers(0, 8))
+            s.col = int(rng.integers(0, 256))
+        targets = sorted({s.target for s in specs})
+        print(f"ingested {args.from_json}: {len(targets)} targets")
+    else:
+        targets = sorted(payloads)
+        if args.attention_targets:
+            targets += sorted(C.attention_matmul_names(cfg.num_layers))
+        if args.module != "all":
+            targets = [t for t in targets if t.startswith(args.module)]
+        if args.layers_limit:
+            targets = targets[: args.layers_limit]
+        specs = []
+        for t in targets:
+            for fm in fault_models:
+                for bit in bits if fm not in ("RANDOM",) else [0]:
+                    specs.append(C.FaultSpec(
+                        target=t, fault_model=fm, bit=bit,
+                        element=int(rng.integers(0, 512)),
+                        row=int(rng.integers(0, 8)), col=int(rng.integers(0, 256)),
+                        seed=int(rng.integers(0, 1 << 31)),
+                        inject_step=args.inject_step,
+                    ))
     print(f"{len(targets)} targets x {len(fault_models)} fault models -> "
           f"{len(specs)} experiments x {len(pairs)} sentences", flush=True)
 
     t0 = time.time()
     res = C.run_campaign(
         model, params, payloads, specs, src, sm, refs, vt,
-        max_len=args.max_len, csv_path=args.out,
+        max_len=args.max_len, csv_path=args.out, fanout=args.fanout,
         log_fn=lambda s: print(s, flush=True),
     )
     dt = time.time() - t0

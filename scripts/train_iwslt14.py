@@ -65,6 +65,13 @@ def main():
     ap.add_argument("--test-tgt", default=None)
     ap.add_argument("--build-vocab", action="store_true",
                     help="build vocab from the train files (min_freq 2) instead of the IWSLT14 artifact")
+    ap.add_argument("--corpus", choices=["iwslt14", "wmt14", "multi30k"],
+                    default="iwslt14",
+                    help="wmt14: HF datasets loader + reference vocab recipe "
+                         "(wmt14_train.py:212-251); multi30k: parallel-file "
+                         "layout at --data (main_train.py trainer's corpus)")
+    ap.add_argument("--wmt14-limit", type=int, default=None,
+                    help="cap wmt14 train pairs (the full set is 4.5M)")
     ap.add_argument("--epochs", type=int, default=60)
     ap.add_argument("--batch-size", type=int, default=128)
     ap.add_argument("--max-padding", type=int, default=72)
@@ -88,14 +95,36 @@ def main():
     from onnx_transformer_tpu.data.dataset import load_pairs, tokenize
     from onnx_transformer_tpu.data.vocab import build_vocab, save_vocab
 
-    if args.train_src:
+    if args.corpus == "wmt14":
+        from onnx_transformer_tpu.data.corpora import (build_wmt14_vocab,
+                                                       load_wmt14_pairs,
+                                                       tokenize_pairs)
+
+        raw_train = load_wmt14_pairs("train", limit=args.wmt14_limit)
+        raw_test = load_wmt14_pairs("test", limit=512)
+        vs, vt = build_wmt14_vocab(raw_train)
+        train_pairs = tokenize_pairs(raw_train)
+        test_pairs = tokenize_pairs(raw_test)
+        os.makedirs(args.out, exist_ok=True)
+        save_vocab(vs, vt, os.path.join(args.out, "vocab.json"))
+    elif args.corpus == "multi30k":
+        from onnx_transformer_tpu.data.corpora import load_multi30k_pairs
+
+        train_pairs = load_multi30k_pairs(args.data, "train")
+        try:
+            test_pairs = load_multi30k_pairs(args.data, "val")
+        except FileNotFoundError:
+            test_pairs = train_pairs[: min(512, len(train_pairs))]
+    elif args.train_src:
         train_pairs = load_pairs(args.train_src, args.train_tgt)
         test_pairs = (load_pairs(args.test_src, args.test_tgt)
                       if args.test_src else train_pairs[: min(512, len(train_pairs))])
     else:
         train_pairs = load_split(args.data, "valid")
         test_pairs = load_split(args.data, "test")
-    if args.build_vocab:
+    if args.corpus == "wmt14":
+        pass  # vocab already built by the wmt14 recipe above
+    elif args.build_vocab or args.corpus == "multi30k":
         vs = build_vocab(tokenize(s) for s, _ in train_pairs)
         vt = build_vocab(tokenize(t) for _, t in train_pairs)
         os.makedirs(args.out, exist_ok=True)

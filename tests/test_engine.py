@@ -102,3 +102,50 @@ def test_engine_int8_kv_cache_matches_fp_under_w8a8(setup):
     out_fp = {r.req_id: r.out_tokens for r in eng_fp.run()}
     out_i8 = {r.req_id: r.out_tokens for r in eng_i8.run()}
     assert out_fp == out_i8
+
+
+def test_engine_tp_mesh_matches_single_device(setup):
+    """BASELINE config 5: the engine with weights + KV cache tensor-sharded
+    over a `model` mesh axis must emit exactly the single-device outputs."""
+    from onnx_transformer_tpu.parallel.mesh import make_mesh
+
+    m, params, srcs = setup
+    max_len = 12
+    want = _greedy_reference(m, params, srcs, max_len)
+    mesh = make_mesh(model=4)
+    eng = TranslationEngine(m, params, num_slots=4, src_len=srcs.shape[1],
+                            max_len=max_len, chunk_steps=3, mesh=mesh)
+    # weights landed sharded over the model axis (out-features / 4 per shard)
+    qw = eng.params["encoder"]["layers"][0]["self_attn"]["q"]["w"]
+    assert {s.data.shape for s in qw.addressable_shards} == {(32, 8)}
+    ids = [eng.submit(s) for s in srcs]
+    done = eng.run()
+    got = {r.req_id: r.out_tokens for r in done}
+    for rid, want_toks in zip(ids, want):
+        assert got[rid] == want_toks, (rid, got[rid], want_toks)
+
+
+def test_engine_fused_attn_int8_matches_jnp(setup):
+    """Engine with int8 KV + the fused Pallas attention kernel must match
+    the engine on the jnp int8 path (slots at heterogeneous positions
+    exercise the per-row masks)."""
+    from onnx_transformer_tpu.quant import w8a8 as W
+
+    m, params, srcs = setup
+    max_len = 12
+    _, lin8 = W.quantize_transformer(m, params, mode="int8")
+
+    def run(fused):
+        eng = TranslationEngine(m, params, lin=lin8, num_slots=4,
+                                src_len=srcs.shape[1], max_len=max_len,
+                                chunk_steps=3, kv_cache_dtype="int8",
+                                fused_attn=fused)
+        ids = [eng.submit(s) for s in srcs]
+        done = eng.run()
+        return ids, {r.req_id: r.out_tokens for r in done}
+
+    ids_j, got_j = run(False)
+    ids_f, got_f = run(True)
+    assert len(got_f) == len(srcs)
+    for rid in ids_j:
+        assert got_f[rid] == got_j[rid], (rid, got_f[rid], got_j[rid])

@@ -181,3 +181,94 @@ def test_campaign_csv_schema(qmodel, tmp_path):
     assert rows[0] == ["layer", "golden_bleu", "faulty_bleu", "bit", "fault_model"]
     assert len(rows) == 1 + len(specs) * len(refs)
     assert rows[1][0] == "encoder.layers.0.self_attn.linears.0"
+
+
+def test_attention_matmul_targets_perturb(qmodel):
+    """Faults on the attention bmm targets (the reference's First/SecondMatMul
+    JSONs) must perturb the right operand/output tensor via the tap seams,
+    deterministically, and leave everything clean when disabled."""
+    m, params, payloads, src, sm = qmodel
+    ids = C.target_ids(m)
+    nm = "encoder.layers.0.self_attn"
+
+    def run(fault):
+        taps = {}
+        act = fault["enabled"] & fault["is_encoder"]
+        lin = C.make_fault_linear_impl(payloads, ids, fault, act)
+        inj = C.make_fault_inject(m.cfg.num_layers, ids, fault, act)
+        m.encode(params, jnp.asarray(src), jnp.asarray(sm),
+                 lin=lin, taps=taps, inject=inj)
+        return taps
+
+    clean = run(C._fault_tree(None, ids))
+    # fault model -> tensor that must change (scores for QK^T faults,
+    # context for AV faults)
+    cases = [
+        (f"{nm}.qk_matmul", "INPUT", f"{nm}.scores"),
+        (f"{nm}.qk_matmul", "WEIGHT", f"{nm}.scores"),
+        (f"{nm}.qk_matmul", "RANDOM", f"{nm}.probs"),
+        # bit 7 of fp32 is a low mantissa bit: visible in scores, absorbed
+        # by the x127 prob quantization grid
+        (f"{nm}.qk_matmul", "RANDOM_BITFLIP", f"{nm}.scores"),
+        (f"{nm}.av_matmul", "INPUT", f"{nm}.context"),
+        (f"{nm}.av_matmul", "WEIGHT", f"{nm}.context"),
+        (f"{nm}.av_matmul", "RANDOM", f"{nm}.context"),
+    ]
+    for target, fm, tensor in cases:
+        spec = C.FaultSpec(target=target, fault_model=fm, bit=7,
+                           element=5, seed=11)
+        t1 = run(C._fault_tree(spec, ids))
+        assert not np.allclose(np.array(t1[tensor]), np.array(clean[tensor])), (
+            target, fm, tensor)
+        t2 = run(C._fault_tree(spec, ids))
+        np.testing.assert_array_equal(np.array(t1[tensor]), np.array(t2[tensor]))
+
+
+def test_vmapped_batch_matches_serial(qmodel):
+    """faulty_greedy_decode_batch (the on-device Pool replacement) must give
+    exactly the per-spec serial results."""
+    m, params, payloads, src, sm = qmodel
+    ids = C.target_ids(m)
+    keys = tuple(sorted(payloads))
+    specs = [
+        C.FaultSpec("encoder.layers.0.self_attn.linears.0", "WEIGHT", bit=7),
+        C.FaultSpec("decoder.layers.1.feed_forward.w_1", "INPUT16", bit=6, row=1),
+        C.FaultSpec("encoder.layers.1.self_attn.qk_matmul", "RANDOM", seed=5),
+        None,  # padding slot (disabled == golden)
+    ]
+    trees = [C._fault_tree(s, ids) for s in specs]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+    batch = np.array(C.faulty_greedy_decode_batch(
+        m, keys, params, payloads, stacked, 10, jnp.asarray(src), jnp.asarray(sm)))
+    for e, spec in enumerate(specs):
+        serial = np.array(C.faulty_greedy_decode(
+            m, keys, params, payloads, C._fault_tree(spec, ids), 10,
+            jnp.asarray(src), jnp.asarray(sm)))
+        np.testing.assert_array_equal(batch[e], serial)
+
+
+def test_reference_json_mapping():
+    """input/*.json descriptors resolve to the right module targets."""
+    f = C.reference_matmul_to_target
+    assert f("Encoder/FirstMatMul", "MatMul_3") == "encoder.layers.0.self_attn.qk_matmul"
+    assert f("Encoder/SecondMatMul", "MatMul_36") == "encoder.layers.4.self_attn.av_matmul"
+    assert f("Encoder/FirstFC", "MatMul_30") == "encoder.layers.3.feed_forward.w_1"
+    assert f("Encoder/SecondFC", "MatMul_7") == "encoder.layers.0.feed_forward.w_2"
+    assert f("Decoder/FirstMatMul", "MatMul_15") == "decoder.layers.0.self_attn.qk_matmul"
+    assert f("Decoder/FirstMatMul", "MatMul_19") == "decoder.layers.0.src_attn.qk_matmul"
+    assert f("Decoder/SecondMatMul", "MatMul_80") == "decoder.layers.5.src_attn.av_matmul"
+    assert f("Decoder/SecondFC", "MatMul_83") == "decoder.layers.5.feed_forward.w_2"
+
+
+def test_specs_from_reference_jsons_ingest():
+    import os
+    d = "/root/reference/input/encoder"
+    if not os.path.isdir(d):
+        pytest.skip("reference input configs not mounted")
+    specs = C.specs_from_reference_jsons(d, fault_models=("INPUT", "RANDOM"),
+                                         bit_positions=(0, 7))
+    assert len(specs) == 24 * 2 * 2  # 24 encoder descriptors x fm x bits
+    cfg6 = TransformerConfig(37, 31)
+    ids = C.target_ids(Transformer(cfg6))
+    for s in specs:
+        assert s.target in ids  # every ingested target resolves
