@@ -4,19 +4,25 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
 The headline metric is decode-step tokens/sec/chip of the W8A8 model with
-int8 KV cache under batched greedy decode, with the fused Pallas attention
-kernel on the hot path (the reference's serving path re-executes the full
-decoder ONNX graph per token on CPU with no cache,
-``onnx_optimized_custom_inference.py:624-671`` — it publishes no numbers, so
-``vs_baseline`` is the speedup over our own FP32 KV-cached decode of the
-same model on the same chip).
+int8 KV cache under batched greedy decode, using the scale-after-dot
+attention formulation (ops/layers.py:int8_cache_attention — the per-token
+dequant scales commute out of the dk contraction, so the int8 cache feeds
+the score/context dots directly; measured 1.55x over dequantize-then-einsum
+and 1.9x over fp32).  The reference's serving path re-executes the full
+decoder ONNX graph per token on CPU with no cache
+(``onnx_optimized_custom_inference.py:624-671``) and publishes no numbers,
+so ``vs_baseline`` is the speedup over our own FP32 KV-cached decode of the
+same model on the same chip.  The fused Pallas attention kernel (zero f32
+cache materialisations, scripts/hlo_check.py) is reported as an extra: at
+these shapes (d=512, T=72) XLA's fused lowering wins; the kernel wins where
+matmuls are large (roofline: 170 vs 144 TOPS at 4k^3).
 
 Extras report, per VERDICT r1 weak #1 ("headline counts dead rows"):
 - ``useful_tokens_per_sec``: EOS-aware token counting (only tokens a user
   receives, i.e. up to and including each row's first EOS);
 - ``early_exit_tokens_per_sec``: the while-loop decoder that stops when all
   rows are done (the production serving configuration);
-- the XLA-lowered int8 path and FP32 path for continuity with BENCH_r01;
+- the fused-kernel and FP32 paths for comparison/regression;
 - the INT8-vs-FP32 BLEU delta on real test data, now computed with the
   *committed* converted reference scales artifact
   (onnx_transformer_tpu/artifacts/transformer_scales.npz, bit-equal to the
@@ -121,22 +127,17 @@ def main():
 
     scales = load_scales()
     sp, lin8 = W.quantize_transformer(model, params, scales, mode="int8")
-    _, lin8p = W.quantize_transformer(model, params, scales, mode="pallas")
 
-    # headline: fused Pallas attention (int8 KV consumed in-kernel) + int8 linears
-    dec_fused = jax.jit(lambda p, s, m: D.greedy_decode(
-        model, p, s, m, MAX_LEN, lin=lin8, kv_cache_dtype="int8", fused_attn=True))
-    t_fused, ys_q = timed(dec_fused, sp, src, sm)
-
-    # Pallas linears + fused attention (full Pallas hot path)
-    dec_pallas = jax.jit(lambda p, s, m: D.greedy_decode(
-        model, p, s, m, MAX_LEN, lin=lin8p, kv_cache_dtype="int8", fused_attn=True))
-    t_pallas, ys_p = timed(dec_pallas, sp, src, sm)
-
-    # continuity: last round's XLA-lowered int8 path (jnp attention)
+    # headline: int8 KV cache + scale-after-dot attention (XLA path)
     dec_int8 = jax.jit(lambda p, s, m: D.greedy_decode(
         model, p, s, m, MAX_LEN, lin=lin8, kv_cache_dtype="int8"))
-    t_int8, _ = timed(dec_int8, sp, src, sm)
+    t_int8, ys_q = timed(dec_int8, sp, src, sm)
+
+    # fused Pallas attention kernel variant (int8 KV consumed in-kernel;
+    # kept for the zero-materialisation property and as kernel regression)
+    dec_fused = jax.jit(lambda p, s, m: D.greedy_decode(
+        model, p, s, m, MAX_LEN, lin=lin8, kv_cache_dtype="int8", fused_attn=True))
+    t_fused, ys_f = timed(dec_fused, sp, src, sm)
 
     # FP32 cached decode (for BLEU delta + fp reference)
     dec_fp = jax.jit(lambda p, s, m: D.greedy_decode(model, p, s, m, MAX_LEN))
@@ -144,17 +145,16 @@ def main():
 
     # early-exit while-loop decode (production config: stops when all rows done)
     dec_ee = jax.jit(lambda p, s, m: D.greedy_decode_early_exit(
-        model, p, s, m, MAX_LEN, lin=lin8, kv_cache_dtype="int8", fused_attn=True))
+        model, p, s, m, MAX_LEN, lin=lin8, kv_cache_dtype="int8"))
     t_ee, ys_ee = timed(dec_ee, sp, src, sm)
 
     ys_q_np = np.array(ys_q)
     useful = useful_tokens(ys_q_np)
-    best_t = min(t_fused, t_pallas)
-    steps_rate = BATCH * DECODE_STEPS / best_t
+    steps_rate = BATCH * DECODE_STEPS / t_int8
     toks_fp = BATCH * DECODE_STEPS / t_fp
 
     out = {
-        "metric": "w8a8_int8kv_fused_attn_greedy_decode_tokens_per_sec_per_chip",
+        "metric": "w8a8_int8kv_greedy_decode_tokens_per_sec_per_chip",
         "value": round(steps_rate, 1),
         "unit": "tokens/s",
         # baseline = our own FP32 KV-cached decode of the same model on the
@@ -162,11 +162,9 @@ def main():
         # path — per-token ONNX session rebuilds on CPU — is orders of
         # magnitude slower and not meaningfully comparable)
         "vs_baseline": round(steps_rate / toks_fp, 2),
-        "useful_tokens_per_sec": round(useful / best_t, 1),
+        "useful_tokens_per_sec": round(useful / t_int8, 1),
         "early_exit_useful_tokens_per_sec": round(useful_tokens(np.array(ys_ee)) / t_ee, 1),
-        "fused_attn_int8lin_tokens_per_sec": round(BATCH * DECODE_STEPS / t_fused, 1),
-        "fused_attn_pallas_lin_tokens_per_sec": round(BATCH * DECODE_STEPS / t_pallas, 1),
-        "xla_int8_tokens_per_sec": round(BATCH * DECODE_STEPS / t_int8, 1),
+        "fused_attn_kernel_tokens_per_sec": round(BATCH * DECODE_STEPS / t_fused, 1),
         "fp32_kv_cache_tokens_per_sec": round(toks_fp, 1),
         "batch": BATCH,
         "decode_len": DECODE_STEPS,
@@ -181,7 +179,6 @@ def main():
         out["bleu_fp32"] = round(bleu_fp, 4)
         out["bleu_int8"] = round(bleu_q, 4)
         out["bleu_delta_int8_vs_fp32"] = round(bleu_q - bleu_fp, 4)
-        out["pallas_lin_matches_int8_lin"] = bool(np.array_equal(ys_q_np, np.array(ys_p)))
 
     print(json.dumps(out))
 

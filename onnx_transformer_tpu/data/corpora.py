@@ -127,3 +127,40 @@ def load_multi30k_pairs(root: str, split: str = "train",
     src, tgt = read(lang_src), read(lang_tgt)
     assert len(src) == len(tgt), f"unaligned Multi30k files: {len(src)} vs {len(tgt)}"
     return list(zip(src, tgt))
+
+
+# --------------------------------------------------- IWSLT15 en-vi (legacy)
+
+def preprocess_iwslt_raw(source_file: str, target_file: str, out_file: str) -> int:
+    """Raw IWSLT release -> TSV, reproducing ``preprocess.py:24-31``: keep
+    aligned lines whose source is non-empty and not an XML/meta tag line
+    (``<url>``, ``<talkid>``, ...).  Returns kept-pair count."""
+    kept = 0
+    with open(source_file, encoding="utf-8") as src, \
+            open(target_file, encoding="utf-8") as tgt, \
+            open(out_file, "w", encoding="utf-8") as out:
+        for src_line, tgt_line in zip(src, tgt):
+            src_line, tgt_line = src_line.strip(), tgt_line.strip()
+            if not src_line.startswith("<") and len(src_line) > 0:
+                out.write(f"{src_line}\t{tgt_line}\n")
+                kept += 1
+    return kept
+
+
+def load_tsv_pairs(path: str, max_len: Optional[int] = 100) -> list[Pair]:
+    """IWSLT15 en-vi TSV splits (``dataloader.py:30-39``): one
+    ``src\\ttgt`` pair per line, pairs longer than ``max_len`` tokens on
+    either side dropped (the reference's ``myfilter``; pass ``None`` to keep
+    all, as its test loader does)."""
+    pairs = []
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) != 2:
+                continue
+            s, t = parts
+            if max_len is not None and (
+                    len(s.split()) > max_len or len(t.split()) > max_len):
+                continue
+            pairs.append((s, t))
+    return pairs

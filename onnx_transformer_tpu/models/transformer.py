@@ -88,7 +88,8 @@ def _cache_update(buf: jax.Array, new: jax.Array, idx) -> jax.Array:
 
 
 def _scale_update(buf: jax.Array, new: jax.Array, idx) -> jax.Array:
-    """Same for per-token scale buffers: buf [B,T,1], new [B,1,1]."""
+    """Row write for [B,T,X] buffers (merged-head int8 caches, X=D, and
+    their per-token scales, X=1): new [B,1,X] lands at time ``idx``."""
     idx = jnp.asarray(idx)
     if idx.ndim == 0:
         return jax.lax.dynamic_update_slice(buf, new, (0, idx, 0))
@@ -231,48 +232,66 @@ class Transformer:
         """
         cfg = self.cfg
         h = cfg.num_heads
-        q = L.split_heads(lin(f"{name}.linears.0", q_in, p["q"]["w"], p["q"]["b"], taps, inject), h)
+        q_full = lin(f"{name}.linears.0", q_in, p["q"]["w"], p["q"]["b"], taps, inject)
+        q = L.split_heads(q_full, h)
         use_fused = (
             fused_attn and taps is None and inject is None and not train
             and q.shape[2] == 1
         )
 
         def _fused(kq, ks, vq, vs):
-            # mask arrives [B,1,1,T] in the decode-step regime
+            # int8 caches are merged-head [B,T,D] with [B,T,1] scales; the
+            # kernel consumes them + the merged q directly, no head split.
+            # mask arrives [B,1,1,T] in the decode-step regime.
             from onnx_transformer_tpu.ops.pallas.attention import decode_attention_int8
 
             ctx = decode_attention_int8(
-                q[:, :, 0, :], kq, ks[..., 0], vq, vs[..., 0],
-                mask[:, 0, 0, :], quantize=cfg.quantize_attn_probs,
+                q_full[:, 0, :], kq, ks[..., 0], vq, vs[..., 0],
+                mask[:, 0, 0, :], num_heads=h,
+                quantize=cfg.quantize_attn_probs,
             )
-            out = L.merge_heads(ctx[:, :, None, :])
+            return lin(f"{name}.linears.3", ctx[:, None, :],
+                       p["o"]["w"], p["o"]["b"], taps, inject)
+
+        def _xla_int8(kq, ks, vq, vs):
+            # scale-after-dot XLA path: int8 cache feeds the dots through a
+            # bare convert; no f32 [B,T,D] cache tensor in HBM
+            ctx = L.int8_cache_attention(
+                q, kq, ks, vq, vs, mask, cfg.quantize_attn_probs,
+                name=name, taps=taps, inject=inject)
+            out = L.merge_heads(ctx)
             return lin(f"{name}.linears.3", out, p["o"]["w"], p["o"]["b"], taps, inject)
+
+        single_step = q.shape[2] == 1 and not train
 
         if kv_precomputed is not None:
             if isinstance(kv_precomputed, dict):  # quantized cross-KV cache
                 c = kv_precomputed
                 if use_fused:
                     return _fused(c["kq"], c["ks"], c["vq"], c["vs"])
-                k = c["kq"].astype(jnp.float32) * c["ks"][:, None, :, :]
-                v = c["vq"].astype(jnp.float32) * c["vs"][:, None, :, :]
+                if single_step:
+                    return _xla_int8(c["kq"], c["ks"], c["vq"], c["vs"])
+                k = L.split_heads(c["kq"].astype(jnp.float32) * c["ks"], h)
+                v = L.split_heads(c["vq"].astype(jnp.float32) * c["vs"], h)
             else:
                 k, v = kv_precomputed
         else:
             kfull = lin(f"{name}.linears.1", k_in, p["k"]["w"], p["k"]["b"], taps, inject)
             vfull = lin(f"{name}.linears.2", v_in, p["v"]["w"], p["v"]["b"], taps, inject)
             if self_cache is not None and "k_scale" in self_cache:
-                # int8 KV cache: per-token quantization over d_model.  For the
-                # W8A8 path this is lossless — k/v already sit on the int8
-                # grid after quantize_output fake-quant (quant_linear.py:111-119)
-                # and re-quantizing with the recomputed absmax scale is exact.
+                # int8 KV cache: merged-head [B,T,D] rows quantized per token
+                # over d_model.  For the W8A8 path this is lossless — k/v
+                # already sit on the int8 grid after quantize_output
+                # fake-quant (quant_linear.py:111-119) and re-quantizing with
+                # the recomputed absmax scale is exact.  The layout is the
+                # projection's own output: cache writes are contiguous rows
+                # and the fused kernel DMAs whole (T, D) slabs.
                 from onnx_transformer_tpu.quant.core import quantize_act_per_token
 
                 kq, ks = quantize_act_per_token(kfull)  # [B,1,D] int8, [B,1,1]
                 vq, vs = quantize_act_per_token(vfull)
-                self_cache["k"] = _cache_update(
-                    self_cache["k"], L.split_heads(kq, h), cache_index)
-                self_cache["v"] = _cache_update(
-                    self_cache["v"], L.split_heads(vq, h), cache_index)
+                self_cache["k"] = _scale_update(self_cache["k"], kq, cache_index)
+                self_cache["v"] = _scale_update(self_cache["v"], vq, cache_index)
                 self_cache["k_scale"] = _scale_update(
                     self_cache["k_scale"], ks, cache_index)
                 self_cache["v_scale"] = _scale_update(
@@ -280,9 +299,14 @@ class Transformer:
                 if use_fused:
                     return _fused(self_cache["k"], self_cache["k_scale"],
                                   self_cache["v"], self_cache["v_scale"])
-                # jnp fallback: dequantize the full cache for attention
-                k = self_cache["k"].astype(jnp.float32) * self_cache["k_scale"][:, None, :, :]
-                v = self_cache["v"].astype(jnp.float32) * self_cache["v_scale"][:, None, :, :]
+                if single_step:
+                    return _xla_int8(self_cache["k"], self_cache["k_scale"],
+                                     self_cache["v"], self_cache["v_scale"])
+                # fallback: dequantize the full cache for attention
+                k = L.split_heads(
+                    self_cache["k"].astype(jnp.float32) * self_cache["k_scale"], h)
+                v = L.split_heads(
+                    self_cache["v"].astype(jnp.float32) * self_cache["v_scale"], h)
             else:
                 k = L.split_heads(kfull, h)
                 v = L.split_heads(vfull, h)
@@ -570,12 +594,13 @@ class Transformer:
                 ckq, cks = quantize_act_per_token(ckf)
                 cvq, cvs = quantize_act_per_token(cvf)
                 entry.update(
-                    k=jnp.zeros((b, h, max_len, dk), jnp.int8),
-                    v=jnp.zeros((b, h, max_len, dk), jnp.int8),
+                    # merged-head [B, T, D] rows + [B, T, 1] scales
+                    k=jnp.zeros((b, max_len, cfg.d_model), jnp.int8),
+                    v=jnp.zeros((b, max_len, cfg.d_model), jnp.int8),
                     k_scale=jnp.zeros((b, max_len, 1), jnp.float32),
                     v_scale=jnp.zeros((b, max_len, 1), jnp.float32),
-                    cross_k=L.split_heads(ckq, h),
-                    cross_v=L.split_heads(cvq, h),
+                    cross_k=ckq,        # [B, S, D]
+                    cross_v=cvq,
                     cross_k_scale=cks,  # [B, S, 1]
                     cross_v_scale=cvs,
                 )
@@ -607,7 +632,8 @@ class Transformer:
         lockstep batch decode, or a [B] vector of per-row positions
         (continuous batching — every slot sits at its own step).
         """
-        max_len = cache["layers"][0]["k"].shape[2]
+        k0 = cache["layers"][0]["k"]
+        max_len = k0.shape[1] if k0.ndim == 3 else k0.shape[2]  # [B,T,D] int8 / [B,H,T,dk] fp
         # attend over cache positions <= index
         pos = jnp.arange(max_len)
         idx = jnp.asarray(index)

@@ -174,6 +174,49 @@ def scaled_dot_attention(
     return tap(f"{name}.context", out, taps, inject)
 
 
+def int8_cache_attention(
+    q: jax.Array,       # f32  [B, H, 1, dk]  single-step queries
+    kq: jax.Array,      # int8 [B, T, D]      merged-head K cache
+    ks: jax.Array,      # f32  [B, T, 1]      per-token K scales
+    vq: jax.Array,      # int8 [B, T, D]
+    vs: jax.Array,      # f32  [B, T, 1]
+    mask: Optional[jax.Array],   # [B, 1, 1, T]
+    quantize: bool,
+    name: str = "attn",
+    taps: TapDict = None,
+    inject: InjectDict = None,
+) -> jax.Array:
+    """Scale-after-dot attention on the int8 KV cache (XLA formulation).
+
+    The per-token dequant scale is constant along the dk contraction, so it
+    commutes out of both dots:
+
+        scores[t] = (sum_d q[d] * kq[t,d]) * ks[t]
+        ctx[d]    = sum_t (p[t] * vs[t]) * vq[t,d]
+
+    The cache therefore feeds the einsums through a *bare* int8->f32
+    convert, which XLA fuses into the dot reads — no f32 [B,T,D] cache
+    tensor is ever materialised in HBM (the dequant-then-einsum form
+    allocated 24 such buffers per decode step; see
+    results_perf/decode_step_jnp.hlo.txt and scripts/hlo_check.py).
+    Math is the reference chain exactly, reassociated (fp rounding differs
+    at the ulp level from dequantize-first).
+    """
+    b, t, d = kq.shape
+    h = q.shape[1]
+    dk = d // h
+    kr = kq.reshape(b, t, h, dk)   # minor-dim split: free, no transpose
+    vr = vq.reshape(b, t, h, dk)
+    scores = jnp.einsum("bhqd,bthd->bhqt", q, kr.astype(jnp.float32))
+    scores = scores * (ks[:, :, 0][:, None, None, :] / np.sqrt(dk).astype(scores.dtype))
+    scores = tap(f"{name}.scores", scores, taps, inject)
+    p = attention_probs(scores, mask, quantize)
+    p = tap(f"{name}.probs", p, taps, inject)
+    pv = p * vs[:, :, 0][:, None, None, :]
+    ctx = jnp.einsum("bhqt,bthd->bhqd", pv, vr.astype(jnp.float32))
+    return tap(f"{name}.context", ctx, taps, inject)
+
+
 def subsequent_mask(size: int) -> np.ndarray:
     """Lower-triangular causal mask [1, size, size] (utils.py:10-14)."""
     return np.tril(np.ones((1, size, size), dtype=bool))

@@ -151,11 +151,26 @@ def quant_w8a8_matmul(
     block_n: int = 256,
     interpret: bool | None = None,
 ) -> jax.Array:
-    """Fused per-token quantize + int8 matmul + dequant epilogue."""
+    """Fused per-token quantize + int8 matmul + dequant epilogue.
+
+    The fused kernel needs the token's FULL K-row in VMEM to take the
+    absmax before quantizing, so it cannot K-tile.  Beyond ``max_fused_k``
+    it decomposes into a per-token quantize (one fp32 read, int8 write) +
+    the K-tiled ``w8a8_matmul`` — 1.5x the activation traffic of the fused
+    path but VMEM-safe at any K.
+    """
     interpret = resolve_interpret(interpret)
     lead = x.shape[:-1]
     k = x.shape[-1]
     n = wq.shape[-1]
+    MAX_FUSED_K = 8192
+    if k > MAX_FUSED_K:
+        from onnx_transformer_tpu.quant.core import quantize_act_per_token
+
+        xq, sx = quantize_act_per_token(x.astype(jnp.float32))
+        return w8a8_matmul(xq, sx[..., 0], wq, sw, b,
+                           block_m=block_m, block_n=block_n,
+                           interpret=interpret)
     x2 = x.reshape(-1, k).astype(jnp.float32)
     m = x2.shape[0]
     bm = min(block_m, max(8, 1 << (m - 1).bit_length()))

@@ -152,14 +152,16 @@ class TranslationEngine:
         layers = []
         for _ in range(cfg.num_layers):
             if self.kv_dtype == "int8":
+                d = cfg.d_model
                 layers.append(
                     {
-                        "k": jnp.zeros((self.B, h, self.T, dk), jnp.int8),
-                        "v": jnp.zeros((self.B, h, self.T, dk), jnp.int8),
+                        # merged-head [B, T, D] int8 rows (models/transformer.py)
+                        "k": jnp.zeros((self.B, self.T, d), jnp.int8),
+                        "v": jnp.zeros((self.B, self.T, d), jnp.int8),
                         "k_scale": jnp.zeros((self.B, self.T, 1), jnp.float32),
                         "v_scale": jnp.zeros((self.B, self.T, 1), jnp.float32),
-                        "cross_k": jnp.zeros((self.B, h, self.S, dk), jnp.int8),
-                        "cross_v": jnp.zeros((self.B, h, self.S, dk), jnp.int8),
+                        "cross_k": jnp.zeros((self.B, self.S, d), jnp.int8),
+                        "cross_v": jnp.zeros((self.B, self.S, d), jnp.int8),
                         "cross_k_scale": jnp.zeros((self.B, self.S, 1), jnp.float32),
                         "cross_v_scale": jnp.zeros((self.B, self.S, 1), jnp.float32),
                     }
@@ -189,11 +191,14 @@ class TranslationEngine:
             def put(x, spec):
                 return jax.device_put(x, NamedSharding(self.mesh, spec))
 
-            # KV tensors shard over heads on the model axis; scales/masks/
-            # counters replicate (tiny)
+            # KV tensors shard over the head/feature axis on the model axis
+            # (heads for the fp [B,H,T,dk] layout, d_model for the int8
+            # merged [B,T,D] layout); scales/masks/counters replicate (tiny)
             for lc in state["cache"]["layers"]:
                 for key in ("k", "v", "cross_k", "cross_v"):
-                    lc[key] = put(lc[key], P(None, MODEL_AXIS, None, None))
+                    spec = (P(None, None, MODEL_AXIS) if lc[key].ndim == 3
+                            else P(None, MODEL_AXIS, None, None))
+                    lc[key] = put(lc[key], spec)
                 for key in lc:
                     if key.endswith("_scale"):
                         lc[key] = put(lc[key], P())

@@ -37,8 +37,12 @@ def main():
     ap.add_argument("--data", default="/root/reference/data")
     ap.add_argument("--split", default="test")
     ap.add_argument("--ckpt", default="checkpoints/iwslt14/model_final.npz")
-    ap.add_argument("--mode", choices=["fp32", "int8", "int4"], default="fp32")
+    ap.add_argument("--mode", choices=["fp32", "int8", "pallas", "int4"], default="fp32")
     ap.add_argument("--scales", default=None, help="calibrated scales .npz for SmoothQuant")
+    ap.add_argument("--kv-dtype", choices=["fp32", "int8"], default=None,
+                    help="KV cache dtype (default: int8 for quantized modes)")
+    ap.add_argument("--fused-attn", action="store_true",
+                    help="fused Pallas int8-cache attention kernel")
     ap.add_argument("--beam", type=int, default=0, help="beam size (0 = greedy)")
     ap.add_argument("--batch-size", type=int, default=128)
     ap.add_argument("--max-padding", type=int, default=72)
@@ -59,12 +63,12 @@ def main():
     params = jax.device_put(CKPT.restore(args.ckpt, template)["params"])
 
     lin = None
-    if args.mode == "int8":
+    if args.mode in ("int8", "pallas"):
         from onnx_transformer_tpu.quant.smoothquant import load_reference_scales
         from onnx_transformer_tpu.quant.w8a8 import quantize_transformer
 
         scales = load_reference_scales(args.scales) if args.scales else None
-        params, lin = quantize_transformer(model, params, scales, mode="int8")
+        params, lin = quantize_transformer(model, params, scales, mode=args.mode)
     elif args.mode == "int4":
         from onnx_transformer_tpu.quant.int4 import (
             make_w4a8_linear_impl, quantize_model_params_int4)
@@ -80,11 +84,15 @@ def main():
         pairs = pairs[: args.limit]
     bsz, ml = args.batch_size, args.max_padding
 
+    kv = args.kv_dtype or ("int8" if args.mode in ("int8", "pallas") else "fp32")
     if args.beam:
-        dec = jax.jit(lambda p, s, m: D.beam_decode(model, p, s, m, ml,
-                                                    beam_size=args.beam, lin=lin))
+        dec = jax.jit(lambda p, s, m: D.beam_decode(
+            model, p, s, m, ml, beam_size=args.beam, lin=lin,
+            kv_cache_dtype=kv, fused_attn=args.fused_attn))
     else:
-        dec = jax.jit(lambda p, s, m: D.greedy_decode(model, p, s, m, ml, lin=lin))
+        dec = jax.jit(lambda p, s, m: D.greedy_decode(
+            model, p, s, m, ml, lin=lin,
+            kv_cache_dtype=kv, fused_attn=args.fused_attn))
 
     hyps, refs = [], []
     t0 = time.time()

@@ -44,9 +44,14 @@ from onnx_transformer_tpu.serving.engine import TranslationEngine
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", default="checkpoints/iwslt14/model_final.npz")
-    ap.add_argument("--mode", choices=["fp32", "int8", "int4"], default="fp32")
+    ap.add_argument("--mode", choices=["fp32", "int8", "pallas", "int4"], default="fp32")
     ap.add_argument("--scales", default="scales/transformer_scales.npz")
     ap.add_argument("--kv-dtype", choices=["fp32", "int8"], default="fp32")
+    ap.add_argument("--fused-attn", action="store_true",
+                    help="fused Pallas int8-cache attention (needs --kv-dtype int8)")
+    ap.add_argument("--tp", type=int, default=0,
+                    help="tensor-parallel width: shard weights + KV cache over "
+                         "a model mesh axis of this size")
     ap.add_argument("--input", default="-", help="source file of BPE lines, or - for stdin")
     ap.add_argument("--num-slots", type=int, default=32)
     ap.add_argument("--src-len", type=int, default=72)
@@ -72,22 +77,31 @@ def main():
         params = jax.device_put(template["params"])
 
     lin = default_linear
-    if args.mode == "int8":
+    if args.mode in ("int8", "pallas"):
         from onnx_transformer_tpu.quant.smoothquant import load_reference_scales
         from onnx_transformer_tpu.quant.w8a8 import quantize_transformer
-        scales = (load_reference_scales(args.scales)
-                  if args.scales and os.path.exists(args.scales) else None)
-        params, lin = quantize_transformer(model, params, scales, mode="int8")
+        scales_path = args.scales
+        if not (scales_path and os.path.exists(scales_path)):
+            scales_path = os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "onnx_transformer_tpu", "artifacts", "transformer_scales.npz")
+        scales = (load_reference_scales(scales_path)
+                  if os.path.exists(scales_path) else None)
+        params, lin = quantize_transformer(model, params, scales, mode=args.mode)
     elif args.mode == "int4":
         from onnx_transformer_tpu.quant.int4 import (
             make_w4a8_linear_impl, quantize_model_params_int4)
         payloads = quantize_model_params_int4(model, params)
         lin = make_w4a8_linear_impl(payloads)
 
+    mesh = None
+    if args.tp:
+        from onnx_transformer_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(model=args.tp)
     eng = TranslationEngine(
         model, params, lin=lin, num_slots=args.num_slots,
         src_len=args.src_len, max_len=args.max_len,
-        kv_cache_dtype=args.kv_dtype)
+        kv_cache_dtype=args.kv_dtype, fused_attn=args.fused_attn, mesh=mesh)
 
     lines = (sys.stdin if args.input == "-" else open(args.input)).read().splitlines()
     order = {}

@@ -83,6 +83,13 @@ def main():
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--qat", choices=["none", "w8a8", "w4a8"], default="none",
                     help="quantization-aware training (STE fake-quant linears)")
+    ap.add_argument("--pipeline", type=int, default=0, metavar="STAGES",
+                    help="GPipe pipeline parallelism over a 'pipe' mesh axis "
+                         "(data x pipe x model mesh; needs >= STAGES devices)")
+    ap.add_argument("--pipeline-micro", type=int, default=4,
+                    help="microbatches per pipeline step")
+    ap.add_argument("--pipeline-model", type=int, default=1,
+                    help="TP width inside each pipeline stage")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -143,12 +150,6 @@ def main():
 
     os.makedirs(args.out, exist_ok=True)
     ckpt_path = os.path.join(args.out, "model_final.npz")
-    start_epoch = 0
-    if args.resume and os.path.exists(ckpt_path):
-        state = CKPT.restore(ckpt_path, state)
-        meta = CKPT.load_meta(ckpt_path)
-        start_epoch = meta.get("epoch", 0) + 1
-        print(f"resumed from epoch {start_epoch}", flush=True)
 
     from onnx_transformer_tpu.models.transformer import default_linear
     lin = default_linear
@@ -156,7 +157,37 @@ def main():
         from onnx_transformer_tpu.quant.int4 import make_qat_linear_impl
         w_bits = 8 if args.qat == "w8a8" else 4
         lin = make_qat_linear_impl(w_bits=w_bits, a_bits=8)
-    step_fn = T.make_train_step(model, tx, accum=args.accum, donate=True, lin=lin)
+
+    if args.pipeline:
+        # GPipe over a (data, pipe, model) mesh: stacked layer params
+        # sharded P('pipe'), microbatch schedule inside shard_map
+        # (parallel/pipeline.py).  Gradient accum rides microbatching.
+        import jax.numpy as jnp
+        from onnx_transformer_tpu.parallel import pipeline as PP
+
+        n_dev = len(jax.devices())
+        need = args.pipeline * args.pipeline_model
+        assert n_dev % need == 0, f"{n_dev} devices not divisible by pipe x tp = {need}"
+        mesh = PP.make_pipeline_mesh(data=n_dev // need, pipe=args.pipeline,
+                                     model=args.pipeline_model)
+        print(f"pipeline mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}",
+              flush=True)
+        stacked = PP.stack_pipeline_params(state["params"])
+        state = PP.shard_pipeline_state(
+            {"params": stacked, "opt_state": tx.init(stacked),
+             "step": jnp.zeros((), jnp.int32)}, mesh)
+        step_fn = PP.make_pipeline_train_step(
+            model, tx, mesh, n_micro=args.pipeline_micro, donate=True, lin=lin)
+        args.accum = 1  # microbatching subsumes accumulation
+    else:
+        step_fn = T.make_train_step(model, tx, accum=args.accum, donate=True, lin=lin)
+
+    start_epoch = 0
+    if args.resume and os.path.exists(ckpt_path):
+        state = CKPT.restore(ckpt_path, state)
+        meta = CKPT.load_meta(ckpt_path)
+        start_epoch = meta.get("epoch", 0) + 1
+        print(f"resumed from epoch {start_epoch}", flush=True)
     loader = BucketedLoader(
         train_pairs, vs, vt, batch_size=args.batch_size,
         max_padding=args.max_padding, seed=7,

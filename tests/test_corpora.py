@@ -69,3 +69,19 @@ def test_real_hf_wmt14_if_cached():
     except Exception:
         pytest.skip("HF wmt14 not cached (offline)")
     assert len(pairs) == 4 and all(len(p) == 2 for p in pairs)
+
+
+def test_iwslt15_tsv_pipeline(tmp_path):
+    """preprocess (raw -> TSV, preprocess.py:24-31) + TSV loader with the
+    reference's max-len filter (dataloader.py:15-17,30-39)."""
+    (tmp_path / "raw.vi").write_text(
+        "<url>http://x</url>\nxin chào thế giới\n\ndài " + "a " * 120 + "\n")
+    (tmp_path / "raw.en").write_text(
+        "<url>http://x</url>\nhello world\n\nlong " + "a " * 120 + "\n")
+    out = str(tmp_path / "train.tsv")
+    kept = CO.preprocess_iwslt_raw(str(tmp_path / "raw.vi"),
+                                   str(tmp_path / "raw.en"), out)
+    assert kept == 2  # tag line and empty line dropped
+    pairs = CO.load_tsv_pairs(out, max_len=100)
+    assert pairs == [("xin chào thế giới", "hello world")]  # long pair filtered
+    assert len(CO.load_tsv_pairs(out, max_len=None)) == 2

@@ -85,11 +85,12 @@ from onnx_transformer_tpu.ops.pallas.attention import (  # noqa: E402
 )
 
 
-def _attn_case(b=5, h=8, t=72, dk=64, seed=0):
+def _attn_case(b=5, h=8, t=72, d=512, seed=0):
+    """Merged-head layout: kq/vq [B,T,D] int8 + per-token [B,T] scales."""
     rng = np.random.default_rng(seed)
-    q = rng.normal(size=(b, h, dk)).astype(np.float32)
-    kq = rng.integers(-127, 128, (b, h, t, dk)).astype(np.int8)
-    vq = rng.integers(-127, 128, (b, h, t, dk)).astype(np.int8)
+    q = rng.normal(size=(b, d)).astype(np.float32)
+    kq = rng.integers(-127, 128, (b, t, d)).astype(np.int8)
+    vq = rng.integers(-127, 128, (b, t, d)).astype(np.int8)
     ks = rng.uniform(0.001, 0.05, (b, t)).astype(np.float32)
     vs = rng.uniform(0.001, 0.05, (b, t)).astype(np.float32)
     # ragged per-row visibility (decode positions differ across rows)
@@ -101,16 +102,19 @@ def _attn_case(b=5, h=8, t=72, dk=64, seed=0):
 @pytest.mark.parametrize("quantize", [True, False])
 def test_decode_attention_int8_matches_oracle(quantize):
     args = _attn_case()
-    got = np.array(decode_attention_int8(*args, quantize=quantize, interpret=True))
-    want = np.array(decode_attention_int8_oracle(*args, quantize=quantize))
+    got = np.array(decode_attention_int8(*args, num_heads=8, quantize=quantize,
+                                         interpret=True))
+    want = np.array(decode_attention_int8_oracle(*args, num_heads=8,
+                                                 quantize=quantize))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
 
 
 def test_decode_attention_int8_block_padding():
     """B not a multiple of block_b exercises the pad/slice path."""
     args = _attn_case(b=3)
-    got = np.array(decode_attention_int8(*args, block_b=8, interpret=True))
-    want = np.array(decode_attention_int8_oracle(*args))
+    got = np.array(decode_attention_int8(*args, num_heads=8, block_b=8,
+                                         interpret=True))
+    want = np.array(decode_attention_int8_oracle(*args, num_heads=8))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
 
 
@@ -134,3 +138,22 @@ def test_fused_decode_end_to_end_matches_jnp_path():
     ys_fused = D.greedy_decode(model, params, src, sm, 12, lin=lin8,
                                kv_cache_dtype="int8", fused_attn=True)
     np.testing.assert_array_equal(np.array(ys_jnp), np.array(ys_fused))
+
+
+def test_quant_w8a8_matmul_large_k_fallback():
+    """K beyond the VMEM-fused limit routes through quantize + K-tiled
+    int8 kernel with identical numerics."""
+    from onnx_transformer_tpu.ops.pallas import w8a8_matmul as KM
+    old = KM.quant_w8a8_matmul
+    x, xq, sx, wq, sw, b, want = _case(16, 256, 128)
+    # force the fallback by monkeying the threshold via a big-K case:
+    x2 = np.concatenate([x] * 40, axis=1)          # K = 10240 > 8192
+    w2 = np.concatenate([wq] * 40, axis=0)
+    sx2 = (np.abs(x2).max(-1, keepdims=True) / 127).astype(np.float32)
+    xq2 = np.round(x2 / sx2).astype(np.int8)
+    want2 = (xq2.astype(np.int64) @ w2.astype(np.int64)).astype(np.float32) * (
+        sx2 * sw[None, :]) + b
+    got = np.array(KM.quant_w8a8_matmul(
+        jnp.asarray(x2), jnp.asarray(w2), jnp.asarray(sw), jnp.asarray(b),
+        interpret=True))
+    np.testing.assert_allclose(got, want2, rtol=1e-6, atol=1e-4)
