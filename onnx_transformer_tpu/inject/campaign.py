@@ -111,9 +111,15 @@ def _flip_f32_traced(x: jax.Array, bit) -> jax.Array:
 
 
 def _apply_elem(x, elem, fn):
+    """Apply ``fn`` to one flat element, branchlessly: compute the rewrite
+    for every element and select by index.  A scatter (`.at[idx].set`) here
+    serializes under the campaign's experiment-axis vmap (measured ~30x
+    slower dispatches); the flip `fn`s are one-two VPU ops, so flipping
+    everything and selecting one is the faster *and* simpler lowering."""
     flat = x.reshape(-1)
     idx = jnp.clip(elem, 0, flat.shape[0] - 1)
-    return flat.at[idx].set(fn(flat[idx])).reshape(x.shape)
+    pos = jax.lax.iota(jnp.int32, flat.shape[0])
+    return jnp.where(pos == idx, fn(flat), flat).reshape(x.shape)
 
 
 def make_fault_linear_impl(
@@ -156,25 +162,53 @@ def make_fault_linear_impl(
         colmask = (colpos >= fault["col"]) & (colpos < fault["col"] + width)
         seg = jnp.where(rowmask & colmask, _flip_bit_traced(t_rows, fault["bit"], kind), t_rows)
         xq = jnp.where(hit & (fm == _FM["INPUT16"]), seg.reshape(xq.shape), xq)
-        # WEIGHT: one int bit flip in the weight tensor
-        wq = jnp.where(
-            hit & (fm == _FM["WEIGHT"]),
-            _apply_elem(wq, fault["element"], lambda v: _flip_bit_traced(v, fault["bit"], kind)),
-            wq,
-        )
-        # WEIGHT16: column fault down `width` rows of one out-channel
-        rpos = jax.lax.broadcasted_iota(jnp.int32, wq.shape, 0)
-        cpos = jax.lax.broadcasted_iota(jnp.int32, wq.shape, 1)
-        wmask = (rpos >= fault["row"]) & (rpos < fault["row"] + width) & (cpos == fault["col"])
-        wseg = jnp.where(wmask, _flip_bit_traced(wq, fault["bit"], kind), wq)
-        wq = jnp.where(hit & (fm == _FM["WEIGHT16"]), wseg, wq)
 
-        lead = xq.shape[:-1]
+        kdim, n = wq.shape
+        xq2 = xq.reshape(-1, kdim)
+        m = xq2.shape[0]
         y32 = jax.lax.dot_general(
-            xq.reshape(-1, xq.shape[-1]), wq,
+            xq2, wq,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
+
+        # WEIGHT faults as bit-exact int32 DELTA corrections after the
+        # matmul: a flipped weight element (r, c) contributes
+        # xq[:, r] * (flip(w[r,c]) - w[r,c]) to output column c.  This
+        # leaves the weight operand untouched, so a vmapped campaign batch
+        # shares ONE [K,N] operand instead of materialising per-experiment
+        # weight copies every decode step (measured 10x+ experiments/s).
+        # Same delta-propagation idea as the reference's perturb_quantizer
+        # (inject_utils/layers.py:87-142), in the int domain.
+        #
+        # WEIGHT: single element at flat index `element` -> (r1, c1)
+        r1 = jnp.clip(fault["element"] // n, 0, kdim - 1)
+        c1 = jnp.clip(fault["element"] % n, 0, n - 1)
+        w1 = jax.lax.dynamic_slice(wq, (r1, c1), (1, 1))           # [1,1]
+        d1 = (_flip_bit_traced(w1, fault["bit"], kind).astype(jnp.int32)
+              - w1.astype(jnp.int32))                              # [1,1]
+        x1 = jax.lax.dynamic_slice(xq2, (0, r1), (m, 1)).astype(jnp.int32)
+        hit_w = hit & (fm == _FM["WEIGHT"])
+        col1 = (jax.lax.broadcasted_iota(jnp.int32, (1, n), 1) == c1)
+        y32 = y32 + jnp.where(hit_w, x1 * d1[0, 0], 0) * col1
+        # WEIGHT16: `width` rows starting at `row`, one out-channel `col`
+        # (start clamped so the whole segment stays in-bounds)
+        wseg_rows = min(width, kdim)
+        r0 = jnp.clip(fault["row"], 0, kdim - wseg_rows)
+        c2 = jnp.clip(fault["col"], 0, n - 1)
+        wseg = jax.lax.dynamic_slice(wq, (r0, c2), (wseg_rows, 1))
+        dseg = (_flip_bit_traced(wseg, fault["bit"], kind).astype(jnp.int32)
+                - wseg.astype(jnp.int32))                          # [16,1]
+        xseg = jax.lax.dynamic_slice(
+            xq2, (0, r0), (m, wseg_rows)).astype(jnp.int32)
+        d16 = jax.lax.dot_general(
+            xseg, dseg, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)                      # [M,1]
+        hit_w16 = hit & (fm == _FM["WEIGHT16"])
+        col2 = (jax.lax.broadcasted_iota(jnp.int32, (1, n), 1) == c2)
+        y32 = y32 + jnp.where(hit_w16, d16, 0) * col2
+
+        lead = xq.shape[:-1]
         y = y32.astype(jnp.float32) * (sx.reshape(-1, 1) * p["sw"][None, :])
         y = (y + p["b"]).reshape(*lead, -1)
 
@@ -311,8 +345,11 @@ def faulty_greedy_decode(
     lin_enc = make_fault_linear_impl(payloads, ids, fault, enc_active, bits)
     inj_enc = make_fault_inject(model.cfg.num_layers, ids, fault, enc_active, bits)
     memory = model.encode(params, src, src_mask, lin=lin_enc, inject=inj_enc)
+    # int8 KV cache (lossless under W8A8 quantize_output; the serving
+    # config) — 4x less cache HBM traffic per vmapped experiment than fp32,
+    # which dominates campaign dispatch time at high fan-out
     cache = model.init_cache(params, memory, max_len, lin=make_fault_linear_impl(
-        payloads, ids, fault, jnp.bool_(False), bits))
+        payloads, ids, fault, jnp.bool_(False), bits), cache_dtype="int8")
 
     cfg = model.cfg
     b = src.shape[0]
@@ -406,13 +443,15 @@ def specs_from_reference_jsons(
     (parallelized_inject_onnx_transformer.py:803-859)."""
     import json
 
-    if isinstance(path, (list, tuple)):
-        files = [str(p) for p in path]
-    elif os.path.isdir(path):
-        files = sorted(
-            os.path.join(path, f) for f in os.listdir(path) if f.endswith(".json"))
-    else:
-        files = [str(path)]
+    def expand(p):
+        p = str(p)
+        if os.path.isdir(p):
+            return sorted(
+                os.path.join(p, f) for f in os.listdir(p) if f.endswith(".json"))
+        return [p]
+
+    entries = list(path) if isinstance(path, (list, tuple)) else [path]
+    files = [f for e in entries for f in expand(e)]
     specs = []
     for i, fp in enumerate(files):
         with open(fp) as f:
@@ -424,6 +463,34 @@ def specs_from_reference_jsons(
                     target=target, fault_model=fm, bit=bit,
                     seed=seed + i, inject_step=inject_step))
     return specs
+
+
+def _stack_fault_trees(specs: Sequence[Optional[FaultSpec]],
+                       ids: dict[str, int]) -> dict:
+    """Stacked fault pytree for a vmapped group, built host-side in numpy
+    with ONE device transfer per field.  (Building per-spec jnp scalars
+    costs a tunnel round-trip each — ~10 transfers x group size per
+    dispatch dominated campaign wall-clock.)"""
+    def field(f, default=0):
+        return np.array([getattr(s, f) if s is not None else default
+                         for s in specs], np.int32)
+
+    tgt = np.array([ids[s.target] if s is not None else 0 for s in specs], np.int32)
+    fmodel = np.array([_FM[s.fault_model] if s is not None else 0 for s in specs], np.int32)
+    seeds = field("seed")
+    return {
+        "target": jnp.asarray(tgt),
+        "model": jnp.asarray(fmodel),
+        "bit": jnp.asarray(field("bit")),
+        "element": jnp.asarray(field("element")),
+        "row": jnp.asarray(field("row")),
+        "col": jnp.asarray(field("col")),
+        "rng": jax.vmap(jax.random.key)(jnp.asarray(seeds)),
+        "enabled": jnp.asarray(np.array([s is not None for s in specs])),
+        "is_encoder": jnp.asarray(np.array(
+            [s is not None and s.target.startswith("encoder") for s in specs])),
+        "step": jnp.asarray(field("inject_step")),
+    }
 
 
 def _fault_tree(spec: Optional[FaultSpec], ids: dict[str, int]) -> dict:
@@ -497,8 +564,7 @@ def run_campaign(
         # pad the last group with disabled (golden) specs: constant E keeps
         # one compiled executable for the whole sweep
         padded = group + [None] * (fanout - len(group))
-        trees = [_fault_tree(s, ids) for s in padded]
-        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+        stacked = _stack_fault_trees(padded, ids)
         outs = np.array(
             faulty_greedy_decode_batch(model, keys, params, payloads,
                                        stacked, max_len, src, src_mask, bits)
@@ -506,7 +572,13 @@ def run_campaign(
         for spec, faulty in zip(group, outs):
             faulty_toks = ids_to_tokens(faulty, vocab_tgt)
             for gi, (r, h) in enumerate(zip(references, faulty_toks)):
-                fb = sentence_bleu([list(r)], h, smoothing="method4")
+                # most faults are benign: identical token rows score the
+                # golden BLEU exactly — skip the (host-side, python) n-gram
+                # work that otherwise dominates campaign wall-clock
+                if np.array_equal(faulty[gi], golden[gi]):
+                    fb = golden_bleus[gi]
+                else:
+                    fb = sentence_bleu([list(r)], h, smoothing="method4")
                 row = {
                     "layer": spec.target,
                     "golden_bleu": golden_bleus[gi],
@@ -521,7 +593,16 @@ def run_campaign(
                                      row["faulty_bleu"], row["bit"],
                                      row["fault_model"]])
         if log_fn:
-            log_fn(f"{len(result.rows)} rows / {start + len(group)} specs done")
+            import time as _time
+
+            if not hasattr(result, "_t0"):
+                result._t0 = _time.time()
+                result._n0 = start + len(group)  # first group incl. trace/compile
+            done_n = start + len(group)
+            dt = _time.time() - result._t0
+            rate = ((done_n - result._n0) / dt) if dt > 0 and done_n > result._n0 else 0.0
+            log_fn(f"{len(result.rows)} rows / {done_n} specs done "
+                   f"(steady {rate:.1f} exp/s)")
 
     if writer:
         f.close()

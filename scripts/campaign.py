@@ -83,8 +83,10 @@ def main():
 
     rng = np.random.default_rng(0)
     if args.from_json:
+        paths = args.from_json.split(",")
         specs = C.specs_from_reference_jsons(
-            args.from_json, fault_models=fault_models, bit_positions=bits,
+            paths if len(paths) > 1 else paths[0],
+            fault_models=fault_models, bit_positions=bits,
             inject_step=args.inject_step)
         for s in specs:  # randomised fault sites, like the direct sweep
             s.element = int(rng.integers(0, 512))

@@ -103,3 +103,32 @@ def test_xavier_uniform_bound():
     a = np.sqrt(6.0 / (64 + 256))
     assert np.abs(w).max() <= a
     assert np.abs(w).max() > 0.8 * a
+
+
+def test_int8_cache_attention_matches_dequant_reference():
+    """Scale-after-dot attention == dequantize-first attention (same math,
+    reassociated), and the score/prob taps fire for the campaign seams."""
+    import numpy as np
+    from onnx_transformer_tpu.ops import layers as L
+
+    rng = np.random.default_rng(4)
+    b, h, t, d = 3, 4, 9, 32
+    dk = d // h
+    q = jnp.asarray(rng.normal(size=(b, h, 1, dk)), jnp.float32)
+    kq = jnp.asarray(rng.integers(-127, 128, (b, t, d)), jnp.int8)
+    vq = jnp.asarray(rng.integers(-127, 128, (b, t, d)), jnp.int8)
+    ks = jnp.asarray(rng.uniform(0.001, 0.05, (b, t, 1)), jnp.float32)
+    vs = jnp.asarray(rng.uniform(0.001, 0.05, (b, t, 1)), jnp.float32)
+    mask = jnp.asarray(rng.integers(0, 2, (b, 1, 1, t)).astype(bool)
+                       | (np.arange(t) == 0)[None, None, None, :])
+
+    taps = {}
+    got = L.int8_cache_attention(q, kq, ks, vq, vs, mask, quantize=True,
+                                 name="x", taps=taps)
+    # dequant-first reference
+    kf = L.split_heads(kq.astype(jnp.float32) * ks, h)
+    vf = L.split_heads(vq.astype(jnp.float32) * vs, h)
+    want = L.scaled_dot_attention(q, kf, vf, mask, quantize=True)
+    np.testing.assert_allclose(np.array(got), np.array(want), rtol=1e-5, atol=1e-5)
+    assert set(taps) == {"x.scores", "x.probs", "x.context"}
+    assert taps["x.probs"].shape == (b, h, 1, t)
