@@ -30,17 +30,22 @@ Pair = tuple[str, str]
 
 
 def get_tokenizers(lang_src: str = "de", lang_tgt: str = "en"):
-    """(tok_src, tok_fn_tgt); spacy when available, whitespace otherwise."""
-    try:  # pragma: no cover - spacy not installed in the TPU image
-        import spacy
+    """(tok_src, tok_fn_tgt); spacy when available for that language,
+    whitespace otherwise (per language, so cs-en/fr-en configs never get a
+    German tokenizer by accident)."""
 
-        models = {"de": "de_core_news_sm", "en": "en_core_web_sm"}
-        sp_s = spacy.load(models[lang_src])
-        sp_t = spacy.load(models[lang_tgt])
-        return (lambda s: [t.text for t in sp_s.tokenizer(s)],
-                lambda s: [t.text for t in sp_t.tokenizer(s)])
-    except Exception:
-        return (lambda s: s.split(), lambda s: s.split())
+    def one(lang):
+        try:  # pragma: no cover - spacy not installed in the TPU image
+            import spacy
+
+            models = {"de": "de_core_news_sm", "en": "en_core_web_sm",
+                      "fr": "fr_core_news_sm", "cs": "cs_core_news_sm"}
+            sp = spacy.load(models[lang])
+            return lambda s: [t.text for t in sp.tokenizer(s)]
+        except Exception:
+            return lambda s: s.split()
+
+    return one(lang_src), one(lang_tgt)
 
 
 def _extract_pair(row, lang_src: str, lang_tgt: str) -> Pair:
@@ -88,12 +93,14 @@ def build_wmt14_vocab(
     min_freq: int = 2,
     tokenize_src: Optional[Callable] = None,
     tokenize_tgt: Optional[Callable] = None,
+    lang_src: str = "de",
+    lang_tgt: str = "en",
 ) -> tuple[Vocab, Vocab]:
     """The reference vocab recipe (``wmt14_train.py:239-253``): min_freq=2,
     specials ``<s> </s> <blank> <unk>``, unk as default index."""
     ts, tt = tokenize_src, tokenize_tgt
     if ts is None or tt is None:
-        dts, dtt = get_tokenizers()
+        dts, dtt = get_tokenizers(lang_src, lang_tgt)
         ts, tt = ts or dts, tt or dtt
     vs = build_vocab((ts(s) for s, _ in pairs), min_freq=min_freq,
                      specials=list(SPECIALS))
@@ -104,12 +111,14 @@ def build_wmt14_vocab(
 
 def tokenize_pairs(pairs: Sequence[Pair],
                    tokenize_src: Optional[Callable] = None,
-                   tokenize_tgt: Optional[Callable] = None) -> list[Pair]:
+                   tokenize_tgt: Optional[Callable] = None,
+                   lang_src: str = "de",
+                   lang_tgt: str = "en") -> list[Pair]:
     """Pre-tokenise raw sentence pairs into space-joined token strings so the
     corpus rides the standard whitespace-splitting BucketedLoader."""
     ts, tt = tokenize_src, tokenize_tgt
     if ts is None or tt is None:
-        dts, dtt = get_tokenizers()
+        dts, dtt = get_tokenizers(lang_src, lang_tgt)
         ts, tt = ts or dts, tt or dtt
     return [(" ".join(ts(s)), " ".join(tt(t))) for s, t in pairs]
 

@@ -188,7 +188,14 @@ class BucketedLoader:
             total = 0
             for l, c in counts.items():
                 nb = c // self._bucket_bsz(l)
-                total += nb // self.num_shards if self.num_shards > 1 else nb
+                if self.num_shards > 1:
+                    total += nb // self.num_shards
+                else:
+                    total += nb
+                    # _iter_token_budget yields one ragged tail batch per
+                    # non-empty pending bucket when drop_last is off
+                    if not self.drop_last and c % self._bucket_bsz(l):
+                        total += 1
             return total
         n = len(self.pairs) // self.num_shards
         if self.drop_last:

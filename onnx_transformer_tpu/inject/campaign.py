@@ -191,14 +191,19 @@ def make_fault_linear_impl(
         hit_w = hit & (fm == _FM["WEIGHT"])
         col1 = (jax.lax.broadcasted_iota(jnp.int32, (1, n), 1) == c1)
         y32 = y32 + jnp.where(hit_w, x1 * d1[0, 0], 0) * col1
-        # WEIGHT16: `width` rows starting at `row`, one out-channel `col`
-        # (start clamped so the whole segment stays in-bounds)
+        # WEIGHT16: `width` rows starting at `row`, one out-channel `col`.
+        # The slice start is clamped in-bounds, but the delta is masked to
+        # rows >= the *requested* start so an overrunning segment truncates
+        # (reference semantics: rows [row, kdim)) instead of shifting whole.
         wseg_rows = min(width, kdim)
         r0 = jnp.clip(fault["row"], 0, kdim - wseg_rows)
         c2 = jnp.clip(fault["col"], 0, n - 1)
         wseg = jax.lax.dynamic_slice(wq, (r0, c2), (wseg_rows, 1))
         dseg = (_flip_bit_traced(wseg, fault["bit"], kind).astype(jnp.int32)
                 - wseg.astype(jnp.int32))                          # [16,1]
+        seg_rows = r0 + jax.lax.broadcasted_iota(jnp.int32, (wseg_rows, 1), 0)
+        dseg = jnp.where(
+            (seg_rows >= fault["row"]) & (fault["row"] < kdim), dseg, 0)
         xseg = jax.lax.dynamic_slice(
             xq2, (0, r0), (m, wseg_rows)).astype(jnp.int32)
         d16 = jax.lax.dot_general(
@@ -529,9 +534,13 @@ def run_campaign(
     fanout: int = 8,
 ) -> CampaignResult:
     """Golden decode once, then faulty decodes in vmapped groups of
-    ``fanout`` — the whole sweep reuses ONE compiled executable.  Writes the
-    reference-compatible CSV schema (layer, golden_bleu, faulty_bleu, bit,
-    fault_model; results_fault_injection/results.csv)."""
+    ``fanout`` — the whole sweep reuses ONE compiled executable.
+
+    CSV schema: ``layer,golden_bleu,faulty_bleu,bit,fault_model`` with a
+    header row.  This is a *superset* of the reference's results.csv, whose
+    rows are 3 columns (golden_bleu, faulty_bleu, bit) with no header and no
+    layer/fault-model columns (those are implied by the experiment shell
+    invocation, ``parallelized_inject_onnx_transformer.py:405-406``)."""
     from onnx_transformer_tpu.evaluation.bleu import sentence_bleu
     from onnx_transformer_tpu.serving.decode import ids_to_tokens
 

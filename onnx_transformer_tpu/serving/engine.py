@@ -67,6 +67,18 @@ class TranslationEngine:
         self.T = max_len
         self.chunk = chunk_steps
         self.kv_dtype = kv_cache_dtype
+        if fused_attn and mesh is not None:
+            # A bare pallas_call is an opaque custom call to GSPMD: feeding it
+            # the model-axis-sharded KV cache would make XLA all-gather the
+            # cache every step (or fail to partition).  The XLA scale-after-dot
+            # path shards cleanly, so fall back to it under TP.
+            import warnings
+
+            warnings.warn(
+                "fused_attn is incompatible with a TP mesh (unsharded "
+                "pallas_call would force per-step cache all-gathers); "
+                "falling back to the XLA int8 attention path.")
+            fused_attn = False
         self.fused_attn = fused_attn
         self.mesh = mesh
         if mesh is not None:

@@ -123,10 +123,16 @@ def main():
         log_fn=lambda s: print(s, flush=True),
     )
     dt = time.time() - t0
-    degraded = sum(1 for r in res.rows if r["faulty_bleu"] < r["golden_bleu"] - 1e-6)
+    by_model: dict[str, int] = {}
+    for r in res.rows:
+        if r["faulty_bleu"] < r["golden_bleu"] - 1e-6:
+            by_model[r["fault_model"]] = by_model.get(r["fault_model"], 0) + 1
+    degraded = sum(by_model.values())
+    summary = ", ".join(f"{m} {n}" for m, n in
+                        sorted(by_model.items(), key=lambda kv: -kv[1]))
     print(f"done: {len(res.rows)} rows in {dt:.1f}s "
           f"({len(specs)/max(dt,1e-9):.2f} experiments/s); "
-          f"{degraded} rows degraded BLEU -> {args.out}")
+          f"{degraded} rows degraded BLEU ({summary or 'none'}) -> {args.out}")
 
 
 if __name__ == "__main__":

@@ -67,3 +67,197 @@ def test_against_real_torch_linear_semantics(small):
     want = torch.nn.functional.linear(torch.tensor(x), tw, tb).numpy()
     got = np.array(L.linear(x, leaf["w"], leaf["b"]))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+# --------------------------------------------------------------------------
+# Full-forward cross-validation against the reference's OWN torch model
+# (VERDICT r2 missing #3): build /root/reference/model.py:15-37 make_model,
+# load our converted state_dict into it, and assert end-to-end logit parity.
+# This is the strongest numerics oracle available in this environment.
+# --------------------------------------------------------------------------
+
+def _import_reference_model():
+    """Import the reference model tree with brevitas/qonnx stubbed.
+
+    The reference imports brevitas/qonnx at module level purely for its
+    QAT/export paths (model.py:13, encoder_decoder.py:3-4, generator.py:2-3);
+    neither is installed here nor needed for the fp32 forward, so empty
+    module stubs keep the import graph satisfied without touching behavior.
+    """
+    import sys as _sys
+    import types
+
+    def stub(name, **attrs):
+        if name in _sys.modules:
+            return _sys.modules[name]
+        m = types.ModuleType(name)
+        for k, v in attrs.items():
+            setattr(m, k, v)
+        _sys.modules[name] = m
+        return m
+
+    stub("brevitas")
+    stub("brevitas.nn")
+    stub("brevitas.export", export_onnx_qcdq=lambda *a, **k: None)
+    stub("brevitas.quant")
+    stub("brevitas.quant.scaled_int", Int32Bias=object)
+    stub("qonnx")
+    stub("qonnx.core")
+    stub("qonnx.core.modelwrapper", ModelWrapper=object)
+
+    ref_dir = "/root/reference"
+    if ref_dir not in _sys.path:
+        _sys.path.insert(0, ref_dir)
+    import model as ref_model_module  # noqa: F401  (reference model.py)
+
+    return ref_model_module
+
+
+@pytest.fixture(scope="module")
+def reference_pair():
+    """(jax model, jax params, torch reference model with same weights)."""
+    torch = pytest.importorskip("torch")
+    if not __import__("os").path.isdir("/root/reference"):
+        pytest.skip("reference tree not mounted")
+    ref_mod = _import_reference_model()
+
+    cfg = TransformerConfig(
+        src_vocab_size=211, tgt_vocab_size=193, num_layers=6, d_model=64,
+        d_ff=128, num_heads=8, dropout=0.3,  # dropout irrelevant in eval
+    )
+    m = Transformer(cfg)
+    params = m.init(jax.random.key(7))
+
+    ref = ref_mod.make_model(cfg.src_vocab_size, cfg.tgt_vocab_size,
+                             N=6, d_model=64, d_ff=128, h=8)
+    state = {k: torch.tensor(v) for k, v in to_torch_state_dict(params).items()}
+    missing, unexpected = ref.load_state_dict(state, strict=False)
+    # only the (non-learned) sinusoidal PE buffers may be absent from our dict
+    assert not unexpected, unexpected
+    assert all(k.endswith(".pe") for k in missing), missing
+    ref.eval()
+    return m, params, ref, torch
+
+
+def _torch_forward_logits(ref, torch, src, tgt_in, src_mask, tgt_mask):
+    """Reference EncoderDecoder.forward + Generator, output-silenced (the
+    reference's MHA forward prints its operands, attention.py:39-46)."""
+    import contextlib
+    import io
+
+    with torch.no_grad(), contextlib.redirect_stdout(io.StringIO()):
+        h = ref(torch.tensor(src), torch.tensor(tgt_in),
+                torch.tensor(src_mask), torch.tensor(tgt_mask))
+        return ref.generator(h).numpy()
+
+
+def _batch(cfg, rng, b=4, s=11, t=9):
+    src = rng.integers(3, cfg.src_vocab_size, size=(b, s)).astype(np.int64)
+    tgt = rng.integers(3, cfg.tgt_vocab_size, size=(b, t)).astype(np.int64)
+    src[:, -2:] = cfg.pad_id  # real padding exercises the mask path
+    from onnx_transformer_tpu.ops import layers as L
+
+    src_mask = np.asarray(L.make_src_mask(src))
+    tgt_mask = np.asarray(L.make_tgt_mask(tgt))
+    return src, tgt, src_mask, tgt_mask
+
+
+def test_full_forward_matches_reference_torch_model(reference_pair):
+    """Converted weights -> reference make_model -> logit parity (quantized
+    attention probs ON, the reference default attention.py:12)."""
+    m, params, ref, torch = reference_pair
+    src, tgt, src_mask, tgt_mask = _batch(m.cfg, np.random.default_rng(3))
+
+    want = _torch_forward_logits(ref, torch, src, tgt, src_mask, tgt_mask)
+    got = np.array(m.forward_logits(params, src, tgt, src_mask, tgt_mask))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_full_forward_matches_reference_no_prob_quant(reference_pair):
+    """Same parity with attention-prob quantization off on both sides."""
+    m, params, ref, torch = reference_pair
+    for mod in ref.modules():
+        if hasattr(mod, "quantize"):
+            mod.quantize = False
+    try:
+        m2 = Transformer(m.cfg.with_(quantize_attn_probs=False))
+        src, tgt, src_mask, tgt_mask = _batch(m.cfg, np.random.default_rng(5))
+        want = _torch_forward_logits(ref, torch, src, tgt, src_mask, tgt_mask)
+        got = np.array(m2.forward_logits(params, src, tgt, src_mask, tgt_mask))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    finally:
+        for mod in ref.modules():
+            if hasattr(mod, "quantize"):
+                mod.quantize = True
+
+
+def test_encode_decode_split_matches_reference(reference_pair):
+    """encode/decode staged entry points (encoder_decoder.py:25-29) agree."""
+    m, params, ref, torch = reference_pair
+    src, tgt, src_mask, tgt_mask = _batch(m.cfg, np.random.default_rng(11))
+    import contextlib
+    import io
+
+    with torch.no_grad(), contextlib.redirect_stdout(io.StringIO()):
+        mem_t = ref.encode(torch.tensor(src), torch.tensor(src_mask)).numpy()
+    mem_j = np.array(m.encode(params, src, src_mask))
+    np.testing.assert_allclose(mem_j, mem_t, rtol=1e-5, atol=1e-5)
+
+
+def test_trained_checkpoint_full_scale_parity():
+    """The real thing: the trained IWSLT14 checkpoint (N=6, d512, real vocab)
+    converted into the reference's make_model, logit parity on real test
+    sentences (reference model.py:15-37 / encoder_decoder.py:19-29)."""
+    import os
+
+    torch = pytest.importorskip("torch")
+    ckpt = os.path.join(os.path.dirname(__file__), "..",
+                        "checkpoints/iwslt14/model_final.npz")
+    if not (os.path.exists(ckpt) and os.path.isdir("/root/reference/data")):
+        pytest.skip("trained checkpoint or reference data not available")
+    ref_mod = _import_reference_model()
+
+    from onnx_transformer_tpu.data.dataset import collate, load_split
+    from onnx_transformer_tpu.data.vocab import load_iwslt14_vocab
+    from onnx_transformer_tpu.ops import layers as L
+    from onnx_transformer_tpu.train import checkpoint as C
+    from onnx_transformer_tpu.train import trainer as T
+
+    vs, vt = load_iwslt14_vocab()
+    cfg = TransformerConfig(len(vs), len(vt))
+    m = Transformer(cfg)
+    tx = T.make_optimizer(cfg.d_model)
+    template = T.init_state(m, tx, jax.random.key(0)).tree()
+    params = C.restore(ckpt, template)["params"]
+
+    ref = ref_mod.make_model(len(vs), len(vt))
+    state = {k: torch.tensor(np.asarray(v))
+             for k, v in to_torch_state_dict(params).items()}
+    missing, unexpected = ref.load_state_dict(state, strict=False)
+    assert not unexpected and all(k.endswith(".pe") for k in missing)
+    ref.eval()
+
+    pairs = load_split("/root/reference/data", "test")[:4]
+    src, tgt = collate(pairs, vs, vt, 24)
+    src, tgt_in = np.asarray(src, np.int64), np.asarray(tgt[:, :-1], np.int64)
+    src_mask = np.asarray(L.make_src_mask(src))
+    tgt_mask = np.asarray(L.make_tgt_mask(tgt_in))
+
+    # prob-quant ON (the reference default): round(p*127) is a step function,
+    # so backend-level ulp differences near a rounding boundary legitimately
+    # become 1/127-sized prob deltas — compare at that scale, and require the
+    # *decisions* (argmax at every position) to agree exactly.
+    want = _torch_forward_logits(ref, torch, src, tgt_in, src_mask, tgt_mask)
+    got = np.array(m.forward_logits(params, src, tgt_in, src_mask, tgt_mask))
+    np.testing.assert_allclose(got, want, rtol=1e-2, atol=0.05)
+    assert np.array_equal(got.argmax(-1), want.argmax(-1))
+
+    # prob-quant OFF on both sides: pure fp numerics, tight tolerance.
+    for mod in ref.modules():
+        if hasattr(mod, "quantize"):
+            mod.quantize = False
+    m2 = Transformer(cfg.with_(quantize_attn_probs=False))
+    want = _torch_forward_logits(ref, torch, src, tgt_in, src_mask, tgt_mask)
+    got = np.array(m2.forward_logits(params, src, tgt_in, src_mask, tgt_mask))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=5e-5)
+    assert np.array_equal(got.argmax(-1), want.argmax(-1))
