@@ -91,12 +91,28 @@ def main():
     ap.add_argument("--pipeline-model", type=int, default=1,
                     help="TP width inside each pipeline stage")
     ap.add_argument("--cpu", action="store_true")
+    # Multi-process (multi-host) data parallelism: run one process per host
+    # with the same command + --coordinator host:port --num-processes N
+    # --process-id {0..N-1}.  Replaces the reference's mp.spawn + NCCL DDP
+    # launcher (distributed/iwslt14_train.py:452-466).
+    ap.add_argument("--coordinator", default=None,
+                    help="jax.distributed coordinator address host:port")
+    ap.add_argument("--num-processes", type=int, default=1)
+    ap.add_argument("--process-id", type=int, default=0)
     args = ap.parse_args()
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    multiproc = args.num_processes > 1
+    if multiproc:
+        from onnx_transformer_tpu.parallel.mesh import initialize_distributed
+
+        assert not args.pipeline, "--pipeline is single-process SPMD"
+        initialize_distributed(args.coordinator, args.num_processes,
+                               args.process_id)
+    is_main = args.process_id == 0
     print("devices:", jax.devices(), flush=True)
 
     from onnx_transformer_tpu.data.dataset import load_pairs, tokenize
@@ -188,9 +204,22 @@ def main():
         meta = CKPT.load_meta(ckpt_path)
         start_epoch = meta.get("epoch", 0) + 1
         print(f"resumed from epoch {start_epoch}", flush=True)
+
+    mesh = None
+    if multiproc:
+        from onnx_transformer_tpu.parallel import multihost as MH
+        from onnx_transformer_tpu.parallel.mesh import make_mesh
+
+        # equal per-shard batch counts => lockstep steps on every process
+        trim = len(train_pairs) // args.num_processes * args.num_processes
+        train_pairs = train_pairs[:trim]
+        mesh = make_mesh(data=len(jax.devices()), model=1)
+        state = MH.replicate_tree(state, mesh)
+
     loader = BucketedLoader(
         train_pairs, vs, vt, batch_size=args.batch_size,
         max_padding=args.max_padding, seed=7,
+        num_shards=args.num_processes, shard_index=args.process_id,
     )
 
     rng = jax.random.key(1234)
@@ -201,7 +230,12 @@ def main():
         tot_loss, tot_tok = 0.0, 0
         for b in loader:
             rng, sub = jax.random.split(rng)
-            state, m = step_fn(state, T.batch_to_arrays(b, args.accum), sub)
+            batch = T.batch_to_arrays(b, args.accum)
+            if mesh is not None:
+                from onnx_transformer_tpu.parallel import multihost as MH
+
+                batch = MH.global_batch(batch, mesh, args.accum)
+            state, m = step_fn(state, batch, sub)
             tot_loss += float(m["loss"])
             tot_tok += int(m["ntokens"])
         dt = time.time() - t0
@@ -212,25 +246,43 @@ def main():
             "tokens_per_sec": round(tot_tok / dt, 1),
             "seconds": round(dt, 1),
         }
-        if args.eval_every and (epoch + 1) % args.eval_every == 0:
-            bleu = evaluate_bleu(model, state["params"], test_pairs, vs, vt, args.max_padding)
+        def host_params():
+            # multi-process: replicated global arrays -> host numpy so the
+            # eval decode jits on this process's local devices only
+            if mesh is None:
+                return state["params"]
+            import numpy as _np
+
+            return jax.tree.map(lambda x: _np.asarray(jax.device_get(x)),
+                                state["params"])
+
+        if args.eval_every and (epoch + 1) % args.eval_every == 0 and is_main:
+            bleu = evaluate_bleu(model, host_params(), test_pairs, vs, vt, args.max_padding)
             line["test_bleu"] = round(bleu, 4)
         history.append(line)
-        print(json.dumps(line), flush=True)
+        if is_main:
+            print(json.dumps(line), flush=True)
         # fetching ~0.5GB of train state over the device tunnel costs ~45s,
         # so checkpoint on the eval cadence rather than every epoch
-        if (epoch + 1) % max(args.eval_every, 1) == 0 or epoch + 1 == args.epochs:
+        # (rank-0 only, like the reference's distributed/iwslt14_train.py:436-438)
+        if ((epoch + 1) % max(args.eval_every, 1) == 0 or epoch + 1 == args.epochs) and is_main:
             CKPT.save_params_with_meta(ckpt_path, state, {"epoch": epoch, "config": "iwslt14-base"})
 
-    # final full-test BLEU
+    if not is_main:
+        return
+    # final full-test BLEU (rank 0)
+    final_params = state["params"]
+    if mesh is not None:
+        final_params = jax.tree.map(
+            lambda x: np.asarray(jax.device_get(x)), state["params"])
     bleu = evaluate_bleu(
-        model, state["params"], test_pairs, vs, vt, args.max_padding, limit=len(test_pairs)
+        model, final_params, test_pairs, vs, vt, args.max_padding, limit=len(test_pairs)
     )
     print(json.dumps({"final_test_bleu": round(bleu, 4)}), flush=True)
     # params-only artifact for inference/quantization consumers
     CKPT.save_params_with_meta(
         os.path.join(args.out, "params_final.npz"),
-        state["params"],
+        final_params,
         {"final_test_bleu": bleu, "epochs": args.epochs},
     )
 
