@@ -95,6 +95,30 @@ def export_model(
 
         dec = _export_fn(greedy_fn, (params, src_s, mask_s))
         bundle._write(f"greedy_b{b}.shlo", dec)
+
+        # Standalone prefill + decode-step pair: the consumer drives its own
+        # token loop (sampling, streaming, custom stopping) — the decoder-as-
+        # servable-artifact capability of the reference's export_decoder with
+        # dynamic tgt axes (encoder_decoder.py:41-52), in static-bucket form.
+        def prefill_fn(params, src, src_mask):
+            memory = model.encode(params, src, src_mask, lin=lin)
+            return model.init_cache(params, memory, max_len, lin=lin,
+                                    cache_dtype=kv_cache_dtype)
+
+        pre = _export_fn(prefill_fn, (params, src_s, mask_s))
+        bundle._write(f"prefill_b{b}.shlo", pre)
+
+        cache_tree = jax.eval_shape(
+            lambda p, s, m: prefill_fn(p, s, m), params, src_s, mask_s)
+        tok_s = _spec((b, 1), jnp.int32)
+        pos_s = _spec((b,), jnp.int32)  # per-row positions (continuous batching)
+
+        def step_fn(params, cache, tok, pos, src_mask):
+            return model.decode_step(params, cache, tok, pos, src_mask,
+                                     lin=lin, fused_attn=fused_attn)
+
+        stp = _export_fn(step_fn, (params, cache_tree, tok_s, pos_s, mask_s))
+        bundle._write(f"decode_step_b{b}.shlo", stp)
         buckets.append(b)
 
     # weights + config manifest (the reference also saves the decoder
@@ -122,7 +146,13 @@ def export_model(
         "graphs": {
             "encoder": [f"encoder_b{b}.shlo" for b in buckets],
             "greedy": [f"greedy_b{b}.shlo" for b in buckets],
+            "prefill": [f"prefill_b{b}.shlo" for b in buckets],
+            "decode_step": [f"decode_step_b{b}.shlo" for b in buckets],
         },
+        "decode_step_signature": (
+            "(params, cache, tok[B,1] i32, pos[B] i32, src_mask[B,1,S] bool)"
+            " -> (log_probs[B,V] f32, cache); cache pytree comes from prefill"
+        ),
     })
     return bundle
 

@@ -254,6 +254,19 @@ class Transformer:
                        p["o"]["w"], p["o"]["b"], taps, inject)
 
         def _xla_int8(kq, ks, vq, vs):
+            if (taps is None and inject is None
+                    and getattr(lin, "quantized_output_grid", False)):
+                # v2: all-int8-operand attention — q is on the per-token int8
+                # grid (W8A8 quantize_output), so the score dot runs int8 on
+                # the MXU in the cache's own layout and V streams through one
+                # fused convert-multiply-reduce (ops/layers.py:
+                # int8_cache_attention_qdot).  Taps/inject need the
+                # [B,H,1,T] score/prob seams -> fall through below.
+                ctx = L.int8_cache_attention_qdot(
+                    q_full, kq, ks, vq, vs, mask,
+                    cfg.quantize_attn_probs, h)
+                return lin(f"{name}.linears.3", ctx,
+                           p["o"]["w"], p["o"]["b"], taps, inject)
             # scale-after-dot XLA path: int8 cache feeds the dots through a
             # bare convert; no f32 [B,T,D] cache tensor in HBM
             ctx = L.int8_cache_attention(
@@ -526,10 +539,16 @@ class Transformer:
         taps: L.TapDict = None,
         inject: L.InjectDict = None,
         lin: LinearImpl = default_linear,
+        log_probs: bool = True,
     ) -> jax.Array:
-        """log_softmax(proj(x)) (generator.py:14-15)."""
+        """log_softmax(proj(x)) (generator.py:14-15).
+
+        ``log_probs=False`` returns raw logits — argmax-invariant (log_softmax
+        subtracts a per-row constant), used by the greedy decoders to skip
+        the [B, V] normalisation reductions entirely."""
         g = params["generator"]
-        return L.log_softmax(lin("generator.proj", x, g["w"], g["b"], taps, inject))
+        y = lin("generator.proj", x, g["w"], g["b"], taps, inject)
+        return L.log_softmax(y) if log_probs else y
 
     # ---------------------------------------------------------------- forward
 
@@ -625,12 +644,14 @@ class Transformer:
         taps: L.TapDict = None,
         inject: L.InjectDict = None,
         fused_attn: bool = False,
+        log_probs: bool = True,
     ) -> tuple[jax.Array, dict]:
         """One KV-cached decoder step -> (next-token log-probs [B, V], cache).
 
         ``index`` is the write/attend position of ``tok``: a scalar for
         lockstep batch decode, or a [B] vector of per-row positions
         (continuous batching — every slot sits at its own step).
+        ``log_probs=False`` returns raw logits (argmax-equivalent).
         """
         k0 = cache["layers"][0]["k"]
         max_len = k0.shape[1] if k0.ndim == 3 else k0.shape[2]  # [B,T,D] int8 / [B,H,T,dk] fp
@@ -650,5 +671,6 @@ class Transformer:
             lin=lin, taps=taps, inject=inject,
             cache=cache, cache_index=index, fused_attn=fused_attn,
         )
-        logp = self.generate(params, h[:, -1], taps=taps, inject=inject, lin=lin)
+        logp = self.generate(params, h[:, -1], taps=taps, inject=inject,
+                             lin=lin, log_probs=log_probs)
         return logp, cache

@@ -217,6 +217,63 @@ def int8_cache_attention(
     return tap(f"{name}.context", ctx, taps, inject)
 
 
+def int8_cache_attention_qdot(
+    q_full: jax.Array,  # f32  [B, 1, D] merged-head queries on the per-token
+                        #      int8 grid (W8A8 quantize_output fake-quant)
+    kq: jax.Array,      # int8 [B, T, D] merged-head K cache
+    ks: jax.Array,      # f32  [B, T, 1] per-token K scales
+    vq: jax.Array,      # int8 [B, T, D]
+    vs: jax.Array,      # f32  [B, T, 1]
+    mask: Optional[jax.Array],   # [B, 1, 1, T]
+    quantize: bool,
+    num_heads: int,
+) -> jax.Array:
+    """All-integer-operand decode attention on the int8 KV cache (XLA).
+
+    The v2 formulation of :func:`int8_cache_attention`, shaped for the TPU:
+
+    - **Score dot on the MXU in int8**: the W8A8 q projection fake-quantizes
+      its output per token (quant_linear.py:111-119), so ``round(q/sq)``
+      recovers the exact int8 representation (the absmax element maps to
+      ±127 by construction).  Embedding it block-diagonally [D, H] turns all
+      heads' scores into ONE int8 matmul  kq [T,D] @ qbd [D,H] -> s32 [T,H]
+      per sequence — the cache feeds the MXU directly in its storage layout,
+      no transpose, no f32 conversion of the cache.
+      ``s32 * sq * ks[t]`` is then EXACT int arithmetic scaled in f32
+      (strictly fewer roundings than the reference's fp chain).
+    - **AV as a fused broadcast-multiply-reduce**: ctx[b,h,:] =
+      sum_t p[b,t,h] * vq[b,t,h,:] — streams the int8 V cache once with the
+      convert fused into the reduction; no [B,T,D] f32 tensor and no
+      head transpose (the ``bhqt,bthd`` einsum form materialises a transpose
+      at B >= 1024, measured 6x slower per step).
+
+    Returns ctx [B, 1, D] merged-head.
+    """
+    b, t, d = kq.shape
+    h = num_heads
+    dk = d // h
+    sq = jnp.max(jnp.abs(q_full), axis=-1, keepdims=True) / 127.0   # [B,1,1]
+    sq = jnp.maximum(sq, 1e-9)
+    qi = jnp.round(q_full / sq).astype(jnp.int8)[:, 0, :]           # [B,D]
+    hsel = (np.arange(d) // dk)[:, None] == np.arange(h)[None, :]   # [D,H]
+    qbd = jnp.where(jnp.asarray(hsel)[None], qi[:, :, None], 0)     # [B,D,H] i8
+    s32 = jax.lax.dot_general(
+        kq, qbd, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32)                           # [B,T,H]
+    scores = s32.astype(jnp.float32) * (
+        sq * ks / np.sqrt(dk).astype(np.float32))                   # [B,T,H]
+    if mask is not None:
+        scores = jnp.where(mask[:, 0, 0, :, None], scores,
+                           jnp.asarray(NEG_INF, scores.dtype))
+    p = jax.nn.softmax(scores, axis=1)                              # over T
+    if quantize:
+        p = quantize_probs(p)
+    pv = p * vs                                                     # [B,T,H]
+    vr = vq.reshape(b, t, h, dk)
+    ctx = jnp.sum(pv[:, :, :, None] * vr.astype(jnp.float32), axis=1)  # [B,H,dk]
+    return ctx.reshape(b, 1, d)
+
+
 def subsequent_mask(size: int) -> np.ndarray:
     """Lower-triangular causal mask [1, size, size] (utils.py:10-14)."""
     return np.tril(np.ones((1, size, size), dtype=bool))

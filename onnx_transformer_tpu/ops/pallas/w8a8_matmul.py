@@ -141,7 +141,53 @@ def _quant_w8a8_kernel(x_ref, w_ref, sw_ref, b_ref, o_ref):
     o_ref[:] = acc.astype(jnp.float32) * (sx * sw_ref[:]) + b_ref[:]
 
 
-@partial(jax.jit, static_argnames=("block_m", "block_n", "interpret"))
+def _quant_w8a8_kernel_ktiled(x_ref, w_ref, sw_ref, b_ref, o_ref,
+                              acc_ref, amax_ref, *, nk):
+    """Two-phase K loop (grid dim length 2*nk, bit-exact with the full-row
+    absmax semantics of quantize_act_per_token):
+
+      phase 1 (s in [0, nk)):   running absmax of x's K tiles -> amax scratch
+      phase 2 (s in [nk, 2nk)): quantize each tile with the FINAL per-token
+                                scale, int32-accumulate on the MXU
+
+    x tiles stream through VMEM twice (8 bytes/elem vs the decompose
+    fallback's 6), but stay one kernel: no int8 activation tensor in HBM and
+    no second dispatch.  A running-max *requant* single-pass variant would
+    avoid the second read but is not bit-equal (round(x/s_tile) rescaled !=
+    round(x/s_final)) and would break the jnp-parity contract."""
+    s = pl.program_id(2)
+
+    @pl.when(s == 0)
+    def _init_amax():
+        amax_ref[:] = jnp.zeros_like(amax_ref)
+
+    @pl.when(s < nk)
+    def _absmax():
+        amax_ref[:] = jnp.maximum(
+            amax_ref[:], jnp.max(jnp.abs(x_ref[:]), axis=-1, keepdims=True))
+
+    @pl.when(s == nk)
+    def _init_acc():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(s >= nk)
+    def _matmul():
+        sx = jnp.clip(amax_ref[:], SCALE_FLOOR, None) / 127.0
+        xq = jnp.round(x_ref[:] / sx).astype(jnp.int8)
+        acc_ref[:] += jax.lax.dot_general(
+            xq, w_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+
+    @pl.when(s == 2 * nk - 1)
+    def _epilogue():
+        sx = jnp.clip(amax_ref[:], SCALE_FLOOR, None) / 127.0
+        o_ref[:] = (acc_ref[:].astype(jnp.float32)
+                    * (sx * sw_ref[:]) + b_ref[:])
+
+
+@partial(jax.jit, static_argnames=("block_m", "block_n", "block_k", "interpret"))
 def quant_w8a8_matmul(
     x: jax.Array,    # f32 [..., K]
     wq: jax.Array,   # int8 [K, N]
@@ -149,28 +195,22 @@ def quant_w8a8_matmul(
     b: jax.Array | None = None,
     block_m: int = 256,
     block_n: int = 256,
+    block_k: int = 2048,
     interpret: bool | None = None,
 ) -> jax.Array:
     """Fused per-token quantize + int8 matmul + dequant epilogue.
 
-    The fused kernel needs the token's FULL K-row in VMEM to take the
-    absmax before quantizing, so it cannot K-tile.  Beyond ``max_fused_k``
-    it decomposes into a per-token quantize (one fp32 read, int8 write) +
-    the K-tiled ``w8a8_matmul`` — 1.5x the activation traffic of the fused
-    path but VMEM-safe at any K.
+    Up to ``MAX_FUSED_K`` the token's full K row fits a VMEM block and a
+    single-pass kernel quantizes + accumulates in one sweep.  Beyond it the
+    two-phase K-tiled kernel takes over (``_quant_w8a8_kernel_ktiled``):
+    absmax pass then quantize+accumulate pass, still ONE kernel with no int8
+    activation round-trip through HBM — VMEM-safe at any K (VERDICT r2 #9).
     """
     interpret = resolve_interpret(interpret)
     lead = x.shape[:-1]
     k = x.shape[-1]
     n = wq.shape[-1]
     MAX_FUSED_K = 8192
-    if k > MAX_FUSED_K:
-        from onnx_transformer_tpu.quant.core import quantize_act_per_token
-
-        xq, sx = quantize_act_per_token(x.astype(jnp.float32))
-        return w8a8_matmul(xq, sx[..., 0], wq, sw, b,
-                           block_m=block_m, block_n=block_n,
-                           interpret=interpret)
     x2 = x.reshape(-1, k).astype(jnp.float32)
     m = x2.shape[0]
     bm = min(block_m, max(8, 1 << (m - 1).bit_length()))
@@ -179,6 +219,41 @@ def quant_w8a8_matmul(
     mp = x2.shape[0]
     if b is None:
         b = jnp.zeros((n,), jnp.float32)
+    sw2 = sw.reshape(1, n).astype(jnp.float32)
+    b2 = b.reshape(1, n).astype(jnp.float32)
+
+    if k > MAX_FUSED_K:
+        bk = min(block_k, k)
+        nk = _cdiv(k, bk)
+        if k % bk:  # zero rows are exact: |0| never raises the absmax and
+            x2 = _pad_to(x2, bk, 1)       # quantizes to 0 in the accumulator
+            wq = _pad_to(wq, bk, 0)
+        kp = x2.shape[1]
+
+        out = pl.pallas_call(
+            partial(_quant_w8a8_kernel_ktiled, nk=nk),
+            grid=(mp // bm, n // bn, 2 * nk),
+            in_specs=[
+                pl.BlockSpec((bm, bk), lambda i, j, s: (i, jax.lax.rem(s, nk)),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bk, bn), lambda i, j, s: (jax.lax.rem(s, nk), j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bn), lambda i, j, s: (0, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bn), lambda i, j, s: (0, j), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda i, j, s: (i, j),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((mp, n), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32),
+                            pltpu.VMEM((bm, 1), jnp.float32)],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * mp * n * kp,
+                bytes_accessed=2 * mp * kp * 4 + kp * n + mp * n * 4,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(x2, wq, sw2, b2)
+        return out[:m].reshape(*lead, n)
 
     out = pl.pallas_call(
         _quant_w8a8_kernel,
@@ -197,5 +272,5 @@ def quant_w8a8_matmul(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x2, wq, sw.reshape(1, n).astype(jnp.float32), b.reshape(1, n).astype(jnp.float32))
+    )(x2, wq, sw2, b2)
     return out[:m].reshape(*lead, n)

@@ -57,6 +57,8 @@ def quantized_linear_names(num_layers: int) -> dict[str, bool]:
 
 def _param_leaf(params: dict, name: str) -> dict:
     """Resolve a reference-style linear name to its param dict."""
+    if name == "generator.proj":
+        return params["generator"]
     parts = name.split(".")
     stack, idx = parts[0], int(parts[2])
     lp = params[stack]["layers"][idx]
@@ -74,11 +76,21 @@ def is_quantized_output(name: str) -> bool:
     return ".linears." in name and name.rsplit(".", 1)[-1] in ("0", "1", "2")
 
 
-def quantize_model_params(model: Transformer, params: dict, bits: int = 8) -> dict:
+def quantize_model_params(model: Transformer, params: dict, bits: int = 8,
+                          include_generator: bool = False) -> dict:
     """Build the quantized-weight payload dict (arrays only, jit-safe):
-    name -> {wq int8 [in,out], sw f32 [out], b f32 [out]}."""
+    name -> {wq int8 [in,out], sw f32 [out], b f32 [out]}.
+
+    ``include_generator`` additionally quantizes the output projection
+    (the reference keeps it fp, generator.py:12 — this is an opt-in speed
+    knob for serving: the generator is the single largest weight read of the
+    decode step at 9.1 MB fp32 vs 2.3 MB int8; BLEU impact is measured in
+    RESULTS.md)."""
     payloads = {}
-    for name in quantized_linear_names(model.cfg.num_layers):
+    names = dict(quantized_linear_names(model.cfg.num_layers))
+    if include_generator:
+        names["generator.proj"] = False
+    for name in names:
         leaf = _param_leaf(params, name)
         wq, sw = Q.quantize_weight_per_channel(jnp.asarray(leaf["w"], jnp.float32), bits)
         payloads[name] = {
@@ -130,6 +142,10 @@ def make_w8a8_linear_impl(
             y = L.tap(f"{name}.out_q", y, taps, inject)
         return y
 
+    # q/k/v outputs sit exactly on the per-token int8 grid (fake-quant above)
+    # -> the decode attention may recover their int8 representation losslessly
+    # and run the score dot in int8 on the MXU (int8_cache_attention_qdot)
+    lin.quantized_output_grid = True
     return lin
 
 
@@ -140,6 +156,7 @@ def quantize_transformer(
     alpha: float = 0.5,
     mode: Mode = "int8",
     bits: int = 8,
+    include_generator: bool = False,
 ):
     """Full PTQ pipeline (get_quantized_model.get_quantized:174-178):
     SmoothQuant-migrate with calibrated scales, then quantize.  Returns
@@ -149,5 +166,5 @@ def quantize_transformer(
 
     if act_scales is not None:
         params = smooth_params(params, act_scales, alpha)
-    payloads = quantize_model_params(model, params, bits)
+    payloads = quantize_model_params(model, params, bits, include_generator)
     return params, make_w8a8_linear_impl(payloads, mode, bits)

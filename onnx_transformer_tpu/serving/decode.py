@@ -50,7 +50,11 @@ def greedy_decode(
 
     def step(carry, i):
         cache, ys, finished, last = carry
-        logp, cache = model.decode_step(params, cache, last[:, None], i, src_mask, lin=lin, fused_attn=fused_attn)
+        # log_probs=False: greedy only needs argmax, which log_softmax (a
+        # per-row constant shift) cannot change — skips two [B, V] reductions
+        logp, cache = model.decode_step(params, cache, last[:, None], i, src_mask,
+                                        lin=lin, fused_attn=fused_attn,
+                                        log_probs=False)
         nxt = jnp.argmax(logp, axis=-1).astype(jnp.int32)
         if stop_at_eos:
             nxt = jnp.where(finished, cfg.pad_id, nxt)
@@ -92,7 +96,9 @@ def greedy_decode_early_exit(
 
     def body(state):
         i, cache, ys, finished, last = state
-        logp, cache = model.decode_step(params, cache, last[:, None], i, src_mask, lin=lin, fused_attn=fused_attn)
+        logp, cache = model.decode_step(params, cache, last[:, None], i, src_mask,
+                                        lin=lin, fused_attn=fused_attn,
+                                        log_probs=False)
         nxt = jnp.argmax(logp, axis=-1).astype(jnp.int32)
         nxt = jnp.where(finished, cfg.pad_id, nxt)
         finished = finished | (nxt == cfg.eos_id)
@@ -123,7 +129,7 @@ def greedy_decode_nocache(
     for _ in range(max_len - 1):
         tgt_mask = L.make_tgt_mask(jnp.asarray(ys), pad=-1)  # no pad in ys: causal only
         h = model.decode(params, memory, src_mask, jnp.asarray(ys), tgt_mask, lin=lin)
-        logp = model.generate(params, h[:, -1], lin=lin)
+        logp = model.generate(params, h[:, -1], lin=lin, log_probs=False)
         nxt = np.array(jnp.argmax(logp, axis=-1))[:, None].astype(np.int32)
         ys = np.concatenate([ys, nxt], axis=1)
     return jnp.asarray(ys)

@@ -149,3 +149,26 @@ def test_engine_fused_attn_int8_matches_jnp(setup):
     assert len(got_f) == len(srcs)
     for rid in ids_j:
         assert got_f[rid] == got_j[rid], (rid, got_f[rid], got_j[rid])
+
+
+def test_engine_batched_prefill_matches_single(setup):
+    """Admission batching (one encoder dispatch per prefill_chunk requests,
+    padded entries dropped via out-of-bounds scatter) must be output-
+    identical to one-at-a-time prefill."""
+    m, params, srcs = setup
+    max_len = 12
+
+    def run(chunk):
+        eng = TranslationEngine(m, params, num_slots=4, src_len=srcs.shape[1],
+                                max_len=max_len, chunk_steps=3,
+                                prefill_chunk=chunk)
+        ids = [eng.submit(s) for s in srcs]
+        done = eng.run()
+        return ids, {r.req_id: r.out_tokens for r in done}
+
+    ids1, got1 = run(1)
+    ids4, got4 = run(4)
+    ids9, got9 = run(9)  # > num_slots: clamped, padded groups exercised
+    assert len(got1) == len(got4) == len(got9) == len(srcs)
+    for r1, r4, r9 in zip(ids1, ids4, ids9):
+        assert got1[r1] == got4[r4] == got9[r9]
