@@ -129,12 +129,23 @@ class Transformer:
 
     def init(self, rng: jax.Array) -> Params:
         cfg = self.cfg
-        keys = iter(jax.random.split(rng, 1024))
+        # index the key array instead of iterating it: holding a live
+        # iterator over a typed-PRNG-key jax.Array degrades EVERY subsequent
+        # block_until_ready in the process to ~28 ms on the tunneled TPU
+        # runtime (measured; indexing is clean)
+        key_arr = jax.random.split(rng, 1024)
+        counter = [0]
+
+        def next_key():
+            k = key_arr[counter[0]]
+            counter[0] += 1
+            return k
+
         dt = cfg.dtype
 
         def lin(d_in, d_out):
             return {
-                "w": L.xavier_uniform(next(keys), (d_in, d_out), dt),
+                "w": L.xavier_uniform(next_key(), (d_in, d_out), dt),
                 "b": jnp.zeros((d_out,), dt),
             }
 
@@ -175,10 +186,10 @@ class Transformer:
         ]
         return {
             "src_embed": {
-                "lut": L.xavier_uniform(next(keys), (cfg.src_vocab_size, cfg.d_model), dt)
+                "lut": L.xavier_uniform(next_key(), (cfg.src_vocab_size, cfg.d_model), dt)
             },
             "tgt_embed": {
-                "lut": L.xavier_uniform(next(keys), (cfg.tgt_vocab_size, cfg.d_model), dt)
+                "lut": L.xavier_uniform(next_key(), (cfg.tgt_vocab_size, cfg.d_model), dt)
             },
             "encoder": {"layers": enc_layers, "ln": ln()},
             "decoder": {"layers": dec_layers, "ln": ln()},

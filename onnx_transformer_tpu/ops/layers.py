@@ -241,11 +241,17 @@ def int8_cache_attention_qdot(
       no transpose, no f32 conversion of the cache.
       ``s32 * sq * ks[t]`` is then EXACT int arithmetic scaled in f32
       (strictly fewer roundings than the reference's fp chain).
-    - **AV as a fused broadcast-multiply-reduce**: ctx[b,h,:] =
-      sum_t p[b,t,h] * vq[b,t,h,:] — streams the int8 V cache once with the
-      convert fused into the reduction; no [B,T,D] f32 tensor and no
-      head transpose (the ``bhqt,bthd`` einsum form materialises a transpose
-      at B >= 1024, measured 6x slower per step).
+    - **AV as ONE batched dot in the cache's layout, overcomputed x H**:
+      tmp[b,h,d] = sum_t pv[b,t,h] * vq[b,t,d] — contraction over t with
+      batch b only, so BOTH operands are consumed in storage order (no
+      transpose) and the int8->f32 convert fuses into the dot's operand
+      read.  The wanted context is the block diagonal tmp[b, d//dk, d],
+      selected with a tiny masked reduce over the 16x-smaller [B,H,D]
+      output.  The overcompute (x H on the MXU) is ~1 GFLOP — noise — while
+      the elementwise broadcast-multiply-reduce formulation stopped fusing
+      at B >= 1024 and materialised 6 x 151 MB convert + broadcast pairs
+      per step (traced), and the ``bhqt,bthd`` einsum form materialised a
+      cache transpose.
 
     Returns ctx [B, 1, D] merged-head.
     """
@@ -269,9 +275,10 @@ def int8_cache_attention_qdot(
     if quantize:
         p = quantize_probs(p)
     pv = p * vs                                                     # [B,T,H]
-    vr = vq.reshape(b, t, h, dk)
-    ctx = jnp.sum(pv[:, :, :, None] * vr.astype(jnp.float32), axis=1)  # [B,H,dk]
-    return ctx.reshape(b, 1, d)
+    tmp = jax.lax.dot_general(
+        pv, vq.astype(jnp.float32), (((1,), (1,)), ((0,), (0,))))   # [B,H,D]
+    ctx = jnp.sum(jnp.where(jnp.asarray(hsel.T)[None], tmp, 0.0), axis=1)
+    return ctx[:, None, :]                                          # [B,1,D]
 
 
 def subsequent_mask(size: int) -> np.ndarray:

@@ -100,4 +100,8 @@ def make_w4a8_linear_impl(payloads: dict, a_bits: int = 8) -> Callable:
             y = Q.fake_quant_act_per_token(y, a_bits)
         return y
 
+    lin.quantized_output_grid = True
+    # see quant/w8a8.py: pass payloads as jit args, not closure consts
+    lin.payloads = payloads
+    lin.rebind = lambda p: make_w4a8_linear_impl(p, a_bits)
     return lin

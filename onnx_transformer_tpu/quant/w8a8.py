@@ -146,6 +146,13 @@ def make_w8a8_linear_impl(
     # -> the decode attention may recover their int8 representation losslessly
     # and run the score dot in int8 on the MXU (int8_cache_attention_qdot)
     lin.quantized_output_grid = True
+    # jit-boundary contract: closure-captured device arrays (jit consts) put
+    # the tunneled TPU runtime on a permanent ~28 ms-per-sync slow path
+    # (measured: consts-in-closure 31 ms/call vs consts-as-args 0.14 ms).
+    # Callers jitting over this impl should pass ``lin.payloads`` as a real
+    # argument and rebuild the impl inside the trace via ``lin.rebind``.
+    lin.payloads = payloads
+    lin.rebind = lambda p: make_w8a8_linear_impl(p, mode, bits)
     return lin
 
 

@@ -95,16 +95,26 @@ class TranslationEngine:
         self._state = None  # device state, lazily built
 
         m = model
+        # Closure-captured device arrays (jit consts) put the tunneled TPU
+        # runtime on a permanent ~28ms-per-sync slow path; quantized impls
+        # therefore expose their weight payloads (lin.payloads) which we pass
+        # as REAL jit arguments and rebind inside the trace (quant/w8a8.py).
+        self._payloads = getattr(lin, "payloads", None) or {}
+        rebind = getattr(lin, "rebind", None)
 
-        def prefill(params, state, src_rows, slots):
+        def lin_of(payloads):
+            return rebind(payloads) if rebind and payloads else self.lin
+
+        def prefill(params, payloads, state, src_rows, slots):
             """Encode up to ``prefill_chunk`` requests in ONE batched encoder
             dispatch and install them at ``slots`` (admission no longer
             serialises a full batch-1 encoder pass per request — VERDICT r2
             weak #4).  Padding entries carry slot index = num_slots, which is
             out of bounds: JAX scatter drops those updates."""
+            lin_ = lin_of(payloads)
             src_mask = (src_rows != cfg.pad_id)[:, None, :]     # [k, 1, S]
-            memory = m.encode(params, src_rows, src_mask, lin=self.lin)
-            cache_k = m.init_cache(params, memory, self.T, lin=self.lin,
+            memory = m.encode(params, src_rows, src_mask, lin=lin_)
+            cache_k = m.init_cache(params, memory, self.T, lin=lin_,
                                    cache_dtype=self.kv_dtype)
             new_cache = jax.tree.map(
                 lambda big, small: big.at[slots].set(small),
@@ -122,16 +132,17 @@ class TranslationEngine:
                     jnp.full((k, self.T), cfg.pad_id, jnp.int32)),
             }
 
-        def chunk_fn(params, state):
+        def chunk_fn(params, payloads, state):
             """Advance all live slots `chunk` steps on device — ONE batched
             decode_step per tick over the whole slot pool, each slot at its
             own position."""
+            lin_ = lin_of(payloads)
 
             def body(st, k):
                 live = st["live"]
                 logp, cache = m.decode_step(
                     params, st["cache"], st["tok"][:, None], st["pos"],
-                    st["src_mask"], lin=self.lin, fused_attn=self.fused_attn,
+                    st["src_mask"], lin=lin_, fused_attn=self.fused_attn,
                     log_probs=False,
                 )
                 nxt = jnp.argmax(logp, -1).astype(jnp.int32)
@@ -159,8 +170,8 @@ class TranslationEngine:
             state, _ = jax.lax.scan(body, state, jnp.arange(self.chunk))
             return state
 
-        self._prefill = jax.jit(prefill, donate_argnums=(1,))
-        self._chunk = jax.jit(chunk_fn, donate_argnums=(1,))
+        self._prefill = jax.jit(prefill, donate_argnums=(2,))
+        self._chunk = jax.jit(chunk_fn, donate_argnums=(2,))
 
     # ------------------------------------------------------------- host side
 
@@ -248,7 +259,8 @@ class TranslationEngine:
                 src[j] = req.src_ids
                 slots[j] = slot
             self._state = self._prefill(
-                self.params, self._state, jnp.asarray(src), jnp.asarray(slots)
+                self.params, self._payloads, self._state,
+                jnp.asarray(src), jnp.asarray(slots)
             )
             for slot, req in group:
                 self._slots[slot] = req
@@ -281,6 +293,6 @@ class TranslationEngine:
         done: list[Request] = []
         while self._queue or any(s is not None for s in self._slots):
             self._admit()
-            self._state = self._chunk(self.params, self._state)
+            self._state = self._chunk(self.params, self._payloads, self._state)
             done.extend(self._harvest())
         return done

@@ -85,13 +85,21 @@ def main():
     bsz, ml = args.batch_size, args.max_padding
 
     kv = args.kv_dtype or ("int8" if args.mode in ("int8", "pallas") else "fp32")
+    # pass quantized payloads as jit args, not closure consts (quant/w8a8.py:
+    # closure device arrays force a ~28ms-per-sync runtime slow path)
+    payloads = getattr(lin, "payloads", None) or {}
+    rebind = getattr(lin, "rebind", None)
+
+    def lin_of(pl):
+        return rebind(pl) if rebind and pl else lin
+
     if args.beam:
-        dec = jax.jit(lambda p, s, m: D.beam_decode(
-            model, p, s, m, ml, beam_size=args.beam, lin=lin,
+        dec = jax.jit(lambda p, pl, s, m: D.beam_decode(
+            model, p, s, m, ml, beam_size=args.beam, lin=lin_of(pl),
             kv_cache_dtype=kv, fused_attn=args.fused_attn))
     else:
-        dec = jax.jit(lambda p, s, m: D.greedy_decode(
-            model, p, s, m, ml, lin=lin,
+        dec = jax.jit(lambda p, pl, s, m: D.greedy_decode(
+            model, p, s, m, ml, lin=lin_of(pl),
             kv_cache_dtype=kv, fused_attn=args.fused_attn))
 
     hyps, refs = [], []
@@ -101,7 +109,7 @@ def main():
         chunk = pairs[i * bsz : (i + 1) * bsz]
         src, _ = collate(chunk, vs, vt, ml)
         sm = np.asarray(L.make_src_mask(np.asarray(src)))
-        ys = np.array(dec(params, jnp.asarray(src), jnp.asarray(sm)))
+        ys = np.array(dec(params, payloads, jnp.asarray(src), jnp.asarray(sm)))
         hyps.extend(D.ids_to_tokens(ys, vt))
         refs.extend([[t.split()] for _, t in chunk])
         if i % 10 == 0:
