@@ -123,7 +123,7 @@ def run_engine_stream(model, params, lin8, pairs, vs, vt):
 
     eng = TranslationEngine(
         model, params, lin=lin8, num_slots=BATCH, src_len=MAX_LEN,
-        max_len=MAX_LEN, chunk_steps=8, kv_cache_dtype="int8",
+        max_len=MAX_LEN, chunk_steps=16, kv_cache_dtype="int8",
         prefill_chunk=64,
     )
     reqs = []

@@ -78,24 +78,33 @@ def default_linear(
 def _cache_update(buf: jax.Array, new: jax.Array, idx) -> jax.Array:
     """Write ``new`` [B,H,1,dk] into ``buf`` [B,H,T,dk] at time ``idx`` —
     a scalar (lockstep batch decode) or a [B] vector of per-row positions
-    (continuous batching)."""
+    (continuous batching).
+
+    The vector case MUST be one batched scatter: a vmapped
+    dynamic_update_slice unrolls into B separate DUS ops per buffer per step
+    on TPU (traced: 98,304 DUS instances in one 8-step engine chunk at
+    B=512, ~120 ms/step).  Out-of-bounds positions drop the row's update
+    (jnp scatter default) — the engine uses index=T for dead slots.
+    """
     idx = jnp.asarray(idx)
     if idx.ndim == 0:
         return jax.lax.dynamic_update_slice(buf, new, (0, 0, idx, 0))
-    return jax.vmap(
-        lambda c, n, i: jax.lax.dynamic_update_slice(c, n, (0, i, 0))
-    )(buf, new, idx)
+    b, h = buf.shape[0], buf.shape[1]
+    return buf.at[
+        jnp.arange(b)[:, None], jnp.arange(h)[None, :], idx[:, None]
+    ].set(new[:, :, 0], mode="drop")
 
 
 def _scale_update(buf: jax.Array, new: jax.Array, idx) -> jax.Array:
     """Row write for [B,T,X] buffers (merged-head int8 caches, X=D, and
-    their per-token scales, X=1): new [B,1,X] lands at time ``idx``."""
+    their per-token scales, X=1): new [B,1,X] lands at time ``idx``.
+    Vector ``idx`` is a single batched scatter (see :func:`_cache_update`);
+    out-of-bounds rows are dropped."""
     idx = jnp.asarray(idx)
     if idx.ndim == 0:
         return jax.lax.dynamic_update_slice(buf, new, (0, idx, 0))
-    return jax.vmap(
-        lambda c, n, i: jax.lax.dynamic_update_slice(c, n, (i, 0))
-    )(buf, new, idx)
+    b = buf.shape[0]
+    return buf.at[jnp.arange(b), idx].set(new[:, 0], mode="drop")
 
 
 class _RngSource:

@@ -93,6 +93,11 @@ class TranslationEngine:
         self._queue: list[Request] = []
         self._slots: list[Optional[Request]] = [None] * num_slots
         self._state = None  # device state, lazily built
+        # pipelined-harvest bookkeeping: chunk tick at which each slot's
+        # current request first participates (a report from an earlier tick
+        # must not harvest it — the slot looks dead there)
+        self._tick = 0
+        self._slot_tick = [0] * num_slots
 
         m = model
         # Closure-captured device arrays (jit consts) put the tunneled TPU
@@ -140,24 +145,24 @@ class TranslationEngine:
 
             def body(st, k):
                 live = st["live"]
+                # dead slots write their cache rows at index T (out of
+                # bounds): the batched-scatter cache update DROPS those
+                # writes, so no post-hoc full-cache where-merge is needed
+                # (the merge forced a copy of the whole ~450MB cache every
+                # step and unrolled per-row on TPU)
+                pos_w = jnp.where(live, st["pos"], self.T)
                 logp, cache = m.decode_step(
-                    params, st["cache"], st["tok"][:, None], st["pos"],
+                    params, st["cache"], st["tok"][:, None], pos_w,
                     st["src_mask"], lin=lin_, fused_attn=self.fused_attn,
                     log_probs=False,
                 )
                 nxt = jnp.argmax(logp, -1).astype(jnp.int32)
                 nxt = jnp.where(live, nxt, cfg.pad_id)
-                # record at pos+1 (pos 0 is implicit BOS)
-                out = jax.vmap(
-                    lambda o, p, t, lv: jnp.where(lv, o.at[p + 1].set(t), o)
-                )(st["out"], st["pos"], nxt, live)
+                # record at pos+1 (pos 0 is implicit BOS); dead rows write at
+                # T+1 -> dropped
+                b = nxt.shape[0]
+                out = st["out"].at[jnp.arange(b), pos_w + 1].set(nxt, mode="drop")
                 new_live = live & (nxt != cfg.eos_id) & (st["pos"] + 2 < self.T)
-                cache = jax.tree.map(
-                    lambda new, old: jnp.where(
-                        live.reshape((-1,) + (1,) * (new.ndim - 1)), new, old
-                    ),
-                    cache, st["cache"],
-                )
                 return {
                     "cache": cache,
                     "src_mask": st["src_mask"],
@@ -168,7 +173,13 @@ class TranslationEngine:
                 }, None
 
             state, _ = jax.lax.scan(body, state, jnp.arange(self.chunk))
-            return state
+            # report = ONE small fresh buffer (not aliased to the donated
+            # state): liveness packed as column 0 next to the token rows, so
+            # harvest costs a single d2h fetch (each blocking fetch pays a
+            # fixed ~28ms poll on the tunneled runtime)
+            report = jnp.concatenate(
+                [state["live"].astype(jnp.int32)[:, None], state["out"]], axis=1)
+            return state, report
 
         self._prefill = jax.jit(prefill, donate_argnums=(2,))
         self._chunk = jax.jit(chunk_fn, donate_argnums=(2,))
@@ -264,16 +275,19 @@ class TranslationEngine:
             )
             for slot, req in group:
                 self._slots[slot] = req
+                self._slot_tick[slot] = self._tick  # next-dispatched chunk
 
-    def _harvest(self) -> list[Request]:
-        live = np.array(self._state["live"])
-        out = None
+    def _harvest(self, pending) -> list[Request]:
+        tick, report_dev = pending
+        return self._harvest_np(tick, np.asarray(report_dev))
+
+    def _harvest_np(self, tick, report: np.ndarray) -> list[Request]:
+        live = report[:, 0]
+        out = report[:, 1:]
         finished = []
         for slot in range(self.B):
             req = self._slots[slot]
-            if req is not None and not live[slot]:
-                if out is None:
-                    out = np.array(self._state["out"])
+            if req is not None and self._slot_tick[slot] <= tick and not live[slot]:
                 row = out[slot]
                 toks = []
                 for t in row[1:]:
@@ -286,13 +300,71 @@ class TranslationEngine:
                 self._slots[slot] = None
         return finished
 
-    def run(self) -> list[Request]:
-        """Process the queue to completion; returns finished requests."""
+    def run(self, pipeline_depth: int = 2) -> list[Request]:
+        """Process the queue to completion; returns finished requests.
+
+        Two-stage pipeline against the tunneled runtime's d2h behavior (a
+        blocking fetch costs a fixed ~28ms poll quantum, and the first d2h
+        of the process locks that mode in permanently):
+
+        - the main thread only DISPATCHES chunks (async, ~0.6ms) and
+          processes already-fetched reports — it never blocks on device;
+        - a fetcher thread performs the blocking ``np.asarray`` per report
+          (GIL released), overlapping the poll latency with the next
+          chunks' device time;
+        - at most ``pipeline_depth`` chunks run ahead of harvest, bounding
+          how late slots refill.
+        """
+        import queue as pyqueue
+        import threading
+
         if self._state is None:
             self._state = self._blank_state()
         done: list[Request] = []
-        while self._queue or any(s is not None for s in self._slots):
-            self._admit()
-            self._state = self._chunk(self.params, self._payloads, self._state)
-            done.extend(self._harvest())
+        self._admit()
+
+        to_fetch: "pyqueue.Queue" = pyqueue.Queue()
+        fetched: "pyqueue.Queue" = pyqueue.Queue()
+        stop = object()
+
+        def fetcher():
+            while True:
+                item = to_fetch.get()
+                if item is stop:
+                    return
+                tick, report_dev = item
+                fetched.put((tick, np.asarray(report_dev)))
+
+        th = threading.Thread(target=fetcher, daemon=True)
+        th.start()
+        in_flight = 0
+        try:
+            while self._queue or any(s is not None for s in self._slots):
+                self._state, report = self._chunk(
+                    self.params, self._payloads, self._state)
+                try:
+                    report.copy_to_host_async()
+                except AttributeError:
+                    pass
+                to_fetch.put((self._tick, report))
+                self._tick += 1
+                in_flight += 1
+                # drain whatever the fetcher finished; block only when the
+                # pipeline is full
+                while in_flight > 0:
+                    block = in_flight >= pipeline_depth
+                    try:
+                        tick, rep = fetched.get(block=block)
+                    except pyqueue.Empty:
+                        break
+                    done.extend(self._harvest_np(tick, rep))
+                    self._admit()
+                    in_flight -= 1
+            while in_flight > 0:
+                tick, rep = fetched.get()
+                done.extend(self._harvest_np(tick, rep))
+                in_flight -= 1
+        finally:
+            to_fetch.put(stop)
+            th.join()
         return done
