@@ -123,22 +123,22 @@ def run_engine_stream(model, params, lin8, pairs, vs, vt):
 
     eng = TranslationEngine(
         model, params, lin=lin8, num_slots=BATCH, src_len=MAX_LEN,
-        max_len=MAX_LEN, chunk_steps=16, kv_cache_dtype="int8",
-        prefill_chunk=64,
+        max_len=MAX_LEN, chunk_steps=8, kv_cache_dtype="int8",
+        prefill_chunk=256, stage_capacity=2048, buckets=(24, 48, 72),
     )
     reqs = []
     for s, _ in pairs:
         src, _tgt = collate([(s, "")], vs, vt, MAX_LEN)
         reqs.append(np.asarray(src[0]))
     # warm-up compile: one small run
-    for r in reqs[: min(64, len(reqs))]:
+    for r in reqs[: min(256, len(reqs))]:
         eng.submit(r)
-    eng.run()
+    eng.run(pipeline_depth=2, drain_every=4)
     # timed run over the full stream
     t0 = time.perf_counter()
     for r in reqs:
         eng.submit(r)
-    done = eng.run()
+    done = eng.run(pipeline_depth=2, drain_every=4)
     dt = time.perf_counter() - t0
     useful = sum(len(r.out_tokens) + 1 for r in done)  # +1: the EOS the user
     return useful / dt, len(done)                      # waits for
@@ -153,9 +153,9 @@ def main():
 
     data_dir = "/root/reference/data"
     if os.path.exists(data_dir):
-        pairs = load_split(data_dir, "test")[: BATCH * 4]
+        pairs = load_split(data_dir, "test")[: BATCH * 12]
     else:
-        pairs = [("ein test .", "a test .")] * (BATCH * 4)
+        pairs = [("ein test .", "a test .")] * (BATCH * 12)
     src_np, _ = collate(pairs[:BATCH], vs, vt, MAX_LEN)
     src = jnp.asarray(src_np)
     sm = jnp.asarray(L.make_src_mask(src))
@@ -210,7 +210,7 @@ def main():
 
     # engine over a realistic stream (the serving configuration)
     engine_useful_rate, engine_done = run_engine_stream(
-        model, sp, lin8, pairs[: BATCH * 3], vs, vt)
+        model, sp, lin8, pairs[: BATCH * 12], vs, vt)
 
     step_bytes = decode_step_bytes(cfg, BATCH, MAX_LEN, int8_gen=False)
     hbm_floor = step_bytes / (HBM_GBPS * 1e9)

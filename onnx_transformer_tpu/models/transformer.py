@@ -483,17 +483,23 @@ class Transformer:
         cache: Optional[dict] = None,
         cache_index=None,
         fused_attn: bool = False,
+        embed_offset=None,
     ) -> jax.Array:
         """Full (teacher-forced) decode, or incremental when ``cache`` given.
 
         With a cache, ``tgt_in`` is the current token(s) [B, 1],
         ``tgt_mask`` is the mask over cache positions [B, 1, Tmax], and
-        ``cache_index`` the write position.  Returns hidden states [B, T, D];
-        the cache dict is updated functionally (returned via ``cache`` arg
-        mutation of the local dict — callers use :meth:`decode_step`).
+        ``cache_index`` the write position (``embed_offset`` overrides the
+        positional-encoding offset when the write position is a shared ring
+        index rather than the logical position).  Returns hidden states
+        [B, T, D]; the cache dict is updated functionally (returned via
+        ``cache`` arg mutation of the local dict — callers use
+        :meth:`decode_step`).
         """
         rngs = _RngSource(rng)
         offset = cache_index if cache is not None else 0
+        if embed_offset is not None:
+            offset = embed_offset
         x = self.embed_tgt(params, tgt_in, offset, rngs, train)
         tmask = tgt_mask[:, None, :, :] if tgt_mask is not None else None
         smask = src_mask[:, None, :, :] if src_mask is not None else None
@@ -621,37 +627,63 @@ class Transformer:
         h, dk = cfg.num_heads, cfg.d_model // cfg.num_heads
         int8 = cache_dtype == "int8"
         layers = []
-        for i, lp in enumerate(params["decoder"]["layers"]):
-            nm = f"decoder.layers.{i}.src_attn"
-            ap = lp["src_attn"]
-            ckf = lin(f"{nm}.linears.1", memory, ap["k"]["w"], ap["k"]["b"], taps, inject)
-            cvf = lin(f"{nm}.linears.2", memory, ap["v"]["w"], ap["v"]["b"], taps, inject)
-            entry = {}
+        for cross in self.cross_kv(params, memory, lin=lin, taps=taps,
+                                   inject=inject, cache_dtype=cache_dtype):
+            entry = dict(cross)
             if int8:
-                from onnx_transformer_tpu.quant.core import quantize_act_per_token
-
-                ckq, cks = quantize_act_per_token(ckf)
-                cvq, cvs = quantize_act_per_token(cvf)
                 entry.update(
                     # merged-head [B, T, D] rows + [B, T, 1] scales
                     k=jnp.zeros((b, max_len, cfg.d_model), jnp.int8),
                     v=jnp.zeros((b, max_len, cfg.d_model), jnp.int8),
                     k_scale=jnp.zeros((b, max_len, 1), jnp.float32),
                     v_scale=jnp.zeros((b, max_len, 1), jnp.float32),
-                    cross_k=ckq,        # [B, S, D]
-                    cross_v=cvq,
-                    cross_k_scale=cks,  # [B, S, 1]
-                    cross_v_scale=cvs,
                 )
             else:
                 entry.update(
                     k=jnp.zeros((b, h, max_len, dk), memory.dtype),
                     v=jnp.zeros((b, h, max_len, dk), memory.dtype),
-                    cross_k=L.split_heads(ckf, h),
-                    cross_v=L.split_heads(cvf, h),
                 )
             layers.append(entry)
         return {"layers": layers}
+
+    def cross_kv(
+        self,
+        params: Params,
+        memory: jax.Array,
+        lin: LinearImpl = default_linear,
+        taps: L.TapDict = None,
+        inject: L.InjectDict = None,
+        cache_dtype: str = "fp32",
+    ) -> list:
+        """Cross-attention K/V projections of the encoder memory, per decoder
+        layer — the precomputable half of :meth:`init_cache`.  The serving
+        engine's staged prefill uses this directly (it writes the projections
+        into a staging ring instead of a fresh cache)."""
+        int8 = cache_dtype == "int8"
+        h = self.cfg.num_heads
+        layers = []
+        for i, lp in enumerate(params["decoder"]["layers"]):
+            nm = f"decoder.layers.{i}.src_attn"
+            ap = lp["src_attn"]
+            ckf = lin(f"{nm}.linears.1", memory, ap["k"]["w"], ap["k"]["b"], taps, inject)
+            cvf = lin(f"{nm}.linears.2", memory, ap["v"]["w"], ap["v"]["b"], taps, inject)
+            if int8:
+                from onnx_transformer_tpu.quant.core import quantize_act_per_token
+
+                ckq, cks = quantize_act_per_token(ckf)
+                cvq, cvs = quantize_act_per_token(cvf)
+                layers.append({
+                    "cross_k": ckq,        # [B, S, D]
+                    "cross_v": cvq,
+                    "cross_k_scale": cks,  # [B, S, 1]
+                    "cross_v_scale": cvs,
+                })
+            else:
+                layers.append({
+                    "cross_k": L.split_heads(ckf, h),  # [B, H, S, dk]
+                    "cross_v": L.split_heads(cvf, h),
+                })
+        return layers
 
     def decode_step(
         self,
@@ -665,31 +697,51 @@ class Transformer:
         inject: L.InjectDict = None,
         fused_attn: bool = False,
         log_probs: bool = True,
+        ring_index=None,
     ) -> tuple[jax.Array, dict]:
         """One KV-cached decoder step -> (next-token log-probs [B, V], cache).
 
-        ``index`` is the write/attend position of ``tok``: a scalar for
-        lockstep batch decode, or a [B] vector of per-row positions
-        (continuous batching — every slot sits at its own step).
+        ``index`` is the logical position of ``tok``: a scalar for lockstep
+        batch decode, or a [B] vector of per-row positions (continuous
+        batching — every slot sits at its own step).
+
+        ``ring_index`` (scalar): step-synchronous ring-cache mode.  All rows
+        write their K/V at the SAME physical cache position ``ring_index``
+        (one aliased dynamic-update-slice — per-row scatters at
+        heterogeneous positions cost ~35us/buffer/step on TPU, measured),
+        while each row's *logical* window is selected by an age mask: a
+        physical position written ``a`` steps ago is visible iff
+        ``a <= index[row]``.  Requires per-row generation length < max_len
+        (the engine's kill rule guarantees it), so a row never collides
+        with its own window; older positions belong to finished occupants
+        and fall outside every live window.
         ``log_probs=False`` returns raw logits (argmax-equivalent).
         """
         k0 = cache["layers"][0]["k"]
         max_len = k0.shape[1] if k0.ndim == 3 else k0.shape[2]  # [B,T,D] int8 / [B,H,T,dk] fp
-        # attend over cache positions <= index
         pos = jnp.arange(max_len)
         idx = jnp.asarray(index)
-        if idx.ndim == 1:
+        if ring_index is not None:
+            # age of each physical position after this step's write lands
+            age = jnp.mod(jnp.asarray(ring_index) - pos, max_len)  # [Tmax]
+            step_mask = age[None, None, :] <= idx[:, None, None]   # [B,1,Tmax]
+            write_index, embed_offset = ring_index, jnp.maximum(idx, 0)
+        elif idx.ndim == 1:
+            # attend over cache positions <= index
             step_mask = pos[None, None, :] <= idx[:, None, None]  # [B,1,Tmax]
+            write_index, embed_offset = index, None
         else:
             step_mask = (pos <= idx)[None, None, :]  # [1,1,Tmax]
             step_mask = jnp.broadcast_to(step_mask, (tok.shape[0], 1, max_len))
+            write_index, embed_offset = index, None
         # local copy of per-layer dicts so updates stay functional
         cache = {"layers": [dict(lc) for lc in cache["layers"]]}
         h = self.decode(
             params, memory=None, src_mask=src_mask,
             tgt_in=tok, tgt_mask=step_mask,
             lin=lin, taps=taps, inject=inject,
-            cache=cache, cache_index=index, fused_attn=fused_attn,
+            cache=cache, cache_index=write_index, fused_attn=fused_attn,
+            embed_offset=embed_offset,
         )
         logp = self.generate(params, h[:, -1], taps=taps, inject=inject,
                              lin=lin, log_probs=log_probs)

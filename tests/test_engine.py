@@ -172,3 +172,39 @@ def test_engine_batched_prefill_matches_single(setup):
     assert len(got1) == len(got4) == len(got9) == len(srcs)
     for r1, r4, r9 in zip(ids1, ids4, ids9):
         assert got1[r1] == got4[r4] == got9[r9]
+
+
+def test_engine_bucketed_prefill_matches_full_length(setup):
+    """Length-bucketed prefill (encode at the bucket length) must be output-
+    identical to full-length prefill: masked pad positions contribute exact
+    zeros to attention, so the encoder memory at real positions is bit-equal."""
+    m, params, srcs = setup
+    max_len = 12
+    S = srcs.shape[1]
+
+    def run(buckets):
+        eng = TranslationEngine(m, params, num_slots=4, src_len=S,
+                                max_len=max_len, chunk_steps=3,
+                                prefill_chunk=4, buckets=buckets)
+        ids = [eng.submit(s) for s in srcs]
+        done = eng.run()
+        return ids, {r.req_id: r.out_tokens for r in done}
+
+    ids_full, got_full = run(None)
+    ids_b, got_b = run((6, 8, S))
+    assert len(got_b) == len(srcs)
+    for rf, rb in zip(ids_full, ids_b):
+        assert got_full[rf] == got_b[rb]
+
+
+def test_engine_staging_ring_wraparound(setup):
+    """More requests than the staging ring holds: the ring must wrap and
+    every request still completes exactly once."""
+    m, params, srcs = setup
+    eng = TranslationEngine(m, params, num_slots=2, src_len=srcs.shape[1],
+                            max_len=8, chunk_steps=2, prefill_chunk=2,
+                            stage_capacity=3)
+    ids = [eng.submit(s) for s in list(srcs) * 3]   # 27 requests, ring of 3
+    done = eng.run()
+    assert sorted(r.req_id for r in done) == sorted(ids)
+    assert all(r.done for r in done)
