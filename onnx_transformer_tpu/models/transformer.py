@@ -95,12 +95,25 @@ def _cache_update(buf: jax.Array, new: jax.Array, idx) -> jax.Array:
     ].set(new[:, :, 0], mode="drop")
 
 
-def _scale_update(buf: jax.Array, new: jax.Array, idx) -> jax.Array:
-    """Row write for [B,T,X] buffers (merged-head int8 caches, X=D, and
-    their per-token scales, X=1): new [B,1,X] lands at time ``idx``.
-    Vector ``idx`` is a single batched scatter (see :func:`_cache_update`);
-    out-of-bounds rows are dropped."""
+def _scale_update(buf: jax.Array, new: jax.Array, idx,
+                  time_major: bool = False) -> jax.Array:
+    """Row write for merged-head int8 caches and their per-token scales:
+    new [B,1,X] lands at time ``idx`` (X=D for k/v, X=1 for scales).
+
+    ``time_major=False``: buf is [B,T,X]; scalar ``idx`` is a slice write,
+    vector ``idx`` one batched scatter (see :func:`_cache_update`);
+    out-of-bounds rows are dropped.
+
+    ``time_major=True``: buf is [T,B,X] and ``idx`` must be scalar (the
+    ring decode mode) — the write is ONE contiguous [1,B,X] slab, vs B
+    strided X-byte rows in the [B,T,X] layout (~33us/buffer/step at
+    B=512, measured: the largest non-matmul consumer of the decode loop).
+    """
     idx = jnp.asarray(idx)
+    if time_major:
+        assert idx.ndim == 0, "time-major cache requires a scalar write index"
+        return jax.lax.dynamic_update_slice(
+            buf, new.transpose(1, 0, 2), (idx, 0, 0))
     if idx.ndim == 0:
         return jax.lax.dynamic_update_slice(buf, new, (0, idx, 0))
     b = buf.shape[0]
@@ -236,6 +249,7 @@ class Transformer:
         cache_index=None,
         kv_precomputed=None,
         fused_attn: bool = False,
+        cache_tm: bool = False,
     ):
         """Multi-headed attention (attention.py:10-67).
 
@@ -323,12 +337,24 @@ class Transformer:
 
                 kq, ks = quantize_act_per_token(kfull)  # [B,1,D] int8, [B,1,1]
                 vq, vs = quantize_act_per_token(vfull)
-                self_cache["k"] = _scale_update(self_cache["k"], kq, cache_index)
-                self_cache["v"] = _scale_update(self_cache["v"], vq, cache_index)
-                self_cache["k_scale"] = _scale_update(
-                    self_cache["k_scale"], ks, cache_index)
-                self_cache["v_scale"] = _scale_update(
-                    self_cache["v_scale"], vs, cache_index)
+                for key, val in (("k", kq), ("v", vq),
+                                 ("k_scale", ks), ("v_scale", vs)):
+                    self_cache[key] = _scale_update(
+                        self_cache[key], val, cache_index, time_major=cache_tm)
+                if cache_tm:
+                    # time-major [T,B,D] cache: contiguous ring writes +
+                    # storage-order batched dots (no fused-kernel variant).
+                    # Callers enable tm only under a quantized-output-grid
+                    # linear impl, where round(q/sq) is exact.
+                    assert getattr(lin, "quantized_output_grid", False), (
+                        "time-major int8 cache requires a W8A8 linear impl "
+                        "with quantize_output (exact int8 q recovery)")
+                    ctx = L.int8_cache_attention_qdot_tm(
+                        q_full, self_cache["k"], self_cache["k_scale"],
+                        self_cache["v"], self_cache["v_scale"], mask,
+                        cfg.quantize_attn_probs, h)
+                    return lin(f"{name}.linears.3", ctx,
+                               p["o"]["w"], p["o"]["b"], taps, inject)
                 if use_fused:
                     return _fused(self_cache["k"], self_cache["k_scale"],
                                   self_cache["v"], self_cache["v_scale"])
@@ -484,6 +510,7 @@ class Transformer:
         cache_index=None,
         fused_attn: bool = False,
         embed_offset=None,
+        cache_time_major: bool = False,
     ) -> jax.Array:
         """Full (teacher-forced) decode, or incremental when ``cache`` given.
 
@@ -538,7 +565,7 @@ class Transformer:
                 lambda h: self._mha(lp["self_attn"], f"{nm}.self_attn", h, h, h,
                                     tmask, rngs, train, taps, inject, lin,
                                     self_cache=layer_cache, cache_index=cache_index,
-                                    fused_attn=fused_attn),
+                                    fused_attn=fused_attn, cache_tm=cache_time_major),
                 rngs, train,
             )
             x = self._sublayer(
@@ -614,6 +641,7 @@ class Transformer:
         taps: L.TapDict = None,
         inject: L.InjectDict = None,
         cache_dtype: str = "fp32",
+        time_major: bool = False,
     ) -> dict:
         """Build the decode cache: empty self-attention K/V rings plus
         precomputed cross-attention projections of the encoder memory.
@@ -631,12 +659,17 @@ class Transformer:
                                    inject=inject, cache_dtype=cache_dtype):
             entry = dict(cross)
             if int8:
+                # merged-head rows + per-token scales; time_major stores
+                # [T, B, *] so each decode step writes ONE contiguous slab
+                kv_shape = ((max_len, b, cfg.d_model) if time_major
+                            else (b, max_len, cfg.d_model))
+                sc_shape = ((max_len, b, 1) if time_major
+                            else (b, max_len, 1))
                 entry.update(
-                    # merged-head [B, T, D] rows + [B, T, 1] scales
-                    k=jnp.zeros((b, max_len, cfg.d_model), jnp.int8),
-                    v=jnp.zeros((b, max_len, cfg.d_model), jnp.int8),
-                    k_scale=jnp.zeros((b, max_len, 1), jnp.float32),
-                    v_scale=jnp.zeros((b, max_len, 1), jnp.float32),
+                    k=jnp.zeros(kv_shape, jnp.int8),
+                    v=jnp.zeros(kv_shape, jnp.int8),
+                    k_scale=jnp.zeros(sc_shape, jnp.float32),
+                    v_scale=jnp.zeros(sc_shape, jnp.float32),
                 )
             else:
                 entry.update(
@@ -698,6 +731,7 @@ class Transformer:
         fused_attn: bool = False,
         log_probs: bool = True,
         ring_index=None,
+        time_major: bool = False,
     ) -> tuple[jax.Array, dict]:
         """One KV-cached decoder step -> (next-token log-probs [B, V], cache).
 
@@ -718,7 +752,10 @@ class Transformer:
         ``log_probs=False`` returns raw logits (argmax-equivalent).
         """
         k0 = cache["layers"][0]["k"]
-        max_len = k0.shape[1] if k0.ndim == 3 else k0.shape[2]  # [B,T,D] int8 / [B,H,T,dk] fp
+        if time_major:
+            max_len = k0.shape[0]               # [T,B,D] int8 ring cache
+        else:
+            max_len = k0.shape[1] if k0.ndim == 3 else k0.shape[2]  # [B,T,D] int8 / [B,H,T,dk] fp
         pos = jnp.arange(max_len)
         idx = jnp.asarray(index)
         if ring_index is not None:
@@ -741,7 +778,7 @@ class Transformer:
             tgt_in=tok, tgt_mask=step_mask,
             lin=lin, taps=taps, inject=inject,
             cache=cache, cache_index=write_index, fused_attn=fused_attn,
-            embed_offset=embed_offset,
+            embed_offset=embed_offset, cache_time_major=time_major,
         )
         logp = self.generate(params, h[:, -1], taps=taps, inject=inject,
                              lin=lin, log_probs=log_probs)

@@ -281,6 +281,53 @@ def int8_cache_attention_qdot(
     return ctx[:, None, :]                                          # [B,1,D]
 
 
+def int8_cache_attention_qdot_tm(
+    q_full: jax.Array,  # f32  [B, 1, D] merged-head queries (int8 grid)
+    kq: jax.Array,      # int8 [T, B, D] TIME-MAJOR merged-head K cache
+    ks: jax.Array,      # f32  [T, B, 1] per-token K scales
+    vq: jax.Array,      # int8 [T, B, D]
+    vs: jax.Array,      # f32  [T, B, 1]
+    mask: Optional[jax.Array],   # [B, 1, 1, T]
+    quantize: bool,
+    num_heads: int,
+) -> jax.Array:
+    """:func:`int8_cache_attention_qdot` on a TIME-MAJOR cache.
+
+    Same math, different storage: the decode step writes this step's K/V at
+    cache[t] — with [T, B, D] that is ONE contiguous [B, D] slab
+    (dynamic-update-slice ~1us), while the [B, T, D] layout strides the
+    write into B separate D-byte rows (~33us/buffer/step, measured — the
+    single largest non-matmul consumer of the decode loop).  Both dots
+    consume the cache in storage order via batched ``dot_general`` (batch
+    dim = B in the middle), so no transpose of the cache materialises.
+    """
+    t, b, d = kq.shape
+    h = num_heads
+    dk = d // h
+    sq = jnp.max(jnp.abs(q_full), axis=-1, keepdims=True) / 127.0   # [B,1,1]
+    sq = jnp.maximum(sq, 1e-9)
+    qi = jnp.round(q_full / sq).astype(jnp.int8)[:, 0, :]           # [B,D]
+    hsel = (np.arange(d) // dk)[:, None] == np.arange(h)[None, :]   # [D,H]
+    qbd = jnp.where(jnp.asarray(hsel)[None], qi[:, :, None], 0)     # [B,D,H] i8
+    # scores: batch over B, contract D — both operands in storage order
+    s32 = jax.lax.dot_general(
+        kq, qbd, (((2,), (1,)), ((1,), (0,))),
+        preferred_element_type=jnp.int32)                           # [B,T,H]
+    scores = s32.astype(jnp.float32) * (
+        sq * ks.transpose(1, 0, 2) / np.sqrt(dk).astype(np.float32))  # [B,T,H]
+    if mask is not None:
+        scores = jnp.where(mask[:, 0, 0, :, None], scores,
+                           jnp.asarray(NEG_INF, scores.dtype))
+    p = jax.nn.softmax(scores, axis=1)                              # over T
+    if quantize:
+        p = quantize_probs(p)
+    pv = p * vs.transpose(1, 0, 2)                                  # [B,T,H]
+    tmp = jax.lax.dot_general(
+        pv, vq.astype(jnp.float32), (((1,), (0,)), ((0,), (1,))))   # [B,H,D]
+    ctx = jnp.sum(jnp.where(jnp.asarray(hsel.T)[None], tmp, 0.0), axis=1)
+    return ctx[:, None, :]                                          # [B,1,D]
+
+
 def subsequent_mask(size: int) -> np.ndarray:
     """Lower-triangular causal mask [1, size, size] (utils.py:10-14)."""
     return np.tril(np.ones((1, size, size), dtype=bool))

@@ -71,6 +71,7 @@ class TranslationEngine:
         refill_per_step: int = 0,
         stage_capacity: int = 0,
         buckets: Optional[Sequence[int]] = None,
+        kv_time_major: bool = False,
     ):
         self.model = model
         self.lin = lin
@@ -102,6 +103,12 @@ class TranslationEngine:
                 "falling back to the XLA int8 attention path.")
             fused_attn = False
         self.fused_attn = fused_attn
+        # time-major self-KV ring (opt-in; measured perf-neutral on v5e —
+        # see serving/decode.py); needs the W8A8 quantized-output grid for
+        # exact q recovery in attention
+        self._tm = (kv_time_major and kv_cache_dtype == "int8"
+                    and not fused_attn
+                    and getattr(lin, "quantized_output_grid", False))
         self.mesh = mesh
         if mesh is not None:
             from onnx_transformer_tpu.parallel.sharding import shard_params
@@ -260,7 +267,7 @@ class TranslationEngine:
                 logits, cache = m.decode_step(
                     params, st["cache"], st["tok"][:, None], lpos,
                     st["src_mask"], lin=lin_, fused_attn=self.fused_attn,
-                    log_probs=False, ring_index=w,
+                    log_probs=False, ring_index=w, time_major=self._tm,
                 )
                 nxt = jnp.argmax(logits, -1).astype(jnp.int32)
                 nxt = jnp.where(live, nxt, cfg.pad_id)
@@ -318,13 +325,18 @@ class TranslationEngine:
         for _ in range(cfg.num_layers):
             if self.kv_dtype == "int8":
                 d = cfg.d_model
+                # merged-head int8 rows; time-major [T, B, *] when the W8A8
+                # grid is available (contiguous ring writes)
+                kv_shape = ((self.T, self.B, d) if self._tm
+                            else (self.B, self.T, d))
+                sc_shape = ((self.T, self.B, 1) if self._tm
+                            else (self.B, self.T, 1))
                 layers.append(
                     {
-                        # merged-head [B, T, D] int8 rows (models/transformer.py)
-                        "k": jnp.zeros((self.B, self.T, d), jnp.int8),
-                        "v": jnp.zeros((self.B, self.T, d), jnp.int8),
-                        "k_scale": jnp.zeros((self.B, self.T, 1), jnp.float32),
-                        "v_scale": jnp.zeros((self.B, self.T, 1), jnp.float32),
+                        "k": jnp.zeros(kv_shape, jnp.int8),
+                        "v": jnp.zeros(kv_shape, jnp.int8),
+                        "k_scale": jnp.zeros(sc_shape, jnp.float32),
+                        "v_scale": jnp.zeros(sc_shape, jnp.float32),
                         "cross_k": jnp.zeros((self.B, self.S, d), jnp.int8),
                         "cross_v": jnp.zeros((self.B, self.S, d), jnp.int8),
                         "cross_k_scale": jnp.zeros((self.B, self.S, 1), jnp.float32),

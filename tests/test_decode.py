@@ -140,3 +140,18 @@ def test_early_exit_matches_scan_decode(small):
     ys_scan = np.array(D.greedy_decode(m, params, src, sm, 12))
     ys_we = np.array(D.greedy_decode_early_exit(m, params, src, sm, 12))
     np.testing.assert_array_equal(ys_we, ys_scan)
+
+
+def test_greedy_time_major_cache_matches_batch_major(small):
+    """kv_time_major=True greedy decode (int8 cache, W8A8 impl) emits the
+    same trajectories as the default batch-major layout."""
+    from onnx_transformer_tpu.quant import w8a8 as W
+
+    m, params = small
+    _, lin8 = W.quantize_transformer(m, params, mode="int8")
+    src, sm = _src()
+    kw = dict(lin=lin8, kv_cache_dtype="int8")
+    a = np.array(D.greedy_decode(m, params, src, sm, 12, **kw))
+    b = np.array(D.greedy_decode(m, params, src, sm, 12,
+                                 kv_time_major=True, **kw))
+    assert (a == b).all()

@@ -208,3 +208,25 @@ def test_engine_staging_ring_wraparound(setup):
     done = eng.run()
     assert sorted(r.req_id for r in done) == sorted(ids)
     assert all(r.done for r in done)
+
+
+def test_engine_time_major_cache_matches_batch_major(setup):
+    """Opt-in time-major self-KV ring must be output-identical to the
+    default batch-major layout (same math, different storage order)."""
+    from onnx_transformer_tpu.quant import w8a8 as W
+
+    m, params, srcs = setup
+    _, lin8 = W.quantize_transformer(m, params, mode="int8")
+
+    def run(tm):
+        eng = TranslationEngine(m, params, lin=lin8, num_slots=4,
+                                src_len=srcs.shape[1], max_len=12,
+                                chunk_steps=3, kv_cache_dtype="int8",
+                                kv_time_major=tm)
+        ids = [eng.submit(s) for s in srcs]
+        return ids, {r.req_id: r.out_tokens for r in eng.run()}
+
+    ids_b, got_b = run(False)
+    ids_t, got_t = run(True)
+    for rb_, rt in zip(ids_b, ids_t):
+        assert got_b[rb_] == got_t[rt]
