@@ -88,11 +88,22 @@ def load_scales():
 
 
 def timed(fn, *args, warmup=1, iters=3):
+    """Wall-time fn with a DATA-FETCH completion barrier.
+
+    ``block_until_ready`` can return before execution completes on the
+    tunneled runtime (observed: a 157 ms decode "completing" in <1 ms);
+    fetching output data cannot.  Device dispatches execute in order, so
+    one fetch after the last dispatch proves all ``iters`` completed — the
+    single fetch's ~28 ms poll quantum amortises across the iters (and
+    biases the result conservatively)."""
+    out = None
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        out = fn(*args)
+    jax.tree.map(np.asarray, out)
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = jax.block_until_ready(fn(*args))
+        out = fn(*args)
+    out = jax.tree.map(np.asarray, out)
     return (time.perf_counter() - t0) / iters, out
 
 
@@ -195,13 +206,23 @@ def main():
         model, p, s, m, MAX_LEN, lin=rb8(pl), kv_cache_dtype="int8"))
     t_ee, ys_ee = timed(dec_ee, sp, pl8, src, sm)
 
-    # decode-LOOP step time via max_len differencing (removes the per-call
-    # prefill encoder pass): t(L) - t(L/2) over L/2 steps
-    half = MAX_LEN // 2
-    dec_half = jax.jit(lambda p, pl, s, m: D.greedy_decode(
-        model, p, s, m, half, lin=rb8(pl), kv_cache_dtype="int8"))
-    t_half, _ = timed(dec_half, sp, pl8, src, sm)
-    loop_step = max(t_int8 - t_half, 1e-9) / (MAX_LEN - half)
+    # decode-LOOP step time = t(full decode) - t(prefill only): same call
+    # structure so the tunnel's per-call overhead cancels.  (The previous
+    # t(L) - t(L/2) differencing reported 0.68 ms/step where the device
+    # profiler measures 1.27 — the half-length program's call overhead
+    # differs enough to corrupt the subtraction.)
+    def _prefill_probe(p, pl, s, m):
+        cache = model.init_cache(
+            p, model.encode(p, s, m, lin=rb8(pl)), MAX_LEN, lin=rb8(pl),
+            cache_dtype="int8")
+        # reduce over the cross-K/V so the encoder + projections cannot be
+        # dead-code-eliminated (the self-cache entries are just zeros)
+        return sum(jnp.sum(lc["cross_k"].astype(jnp.int32))
+                   + jnp.sum(lc["cross_v"].astype(jnp.int32))
+                   for lc in cache["layers"])
+
+    t_pre, _ = timed(jax.jit(_prefill_probe), sp, pl8, src, sm)
+    loop_step = max(t_int8 - t_pre, 1e-9) / DECODE_STEPS
 
     ys_q_np = np.array(ys_q)
     useful = useful_tokens(ys_q_np)
