@@ -134,7 +134,7 @@ def run_engine_stream(model, params, lin8, pairs, vs, vt):
 
     eng = TranslationEngine(
         model, params, lin=lin8, num_slots=BATCH, src_len=MAX_LEN,
-        max_len=MAX_LEN, chunk_steps=8, kv_cache_dtype="int8",
+        max_len=MAX_LEN, chunk_steps=6, kv_cache_dtype="int8",
         prefill_chunk=256, stage_capacity=2048, buckets=(24, 48, 72),
     )
     reqs = []
@@ -144,12 +144,12 @@ def run_engine_stream(model, params, lin8, pairs, vs, vt):
     # warm-up compile: one small run
     for r in reqs[: min(256, len(reqs))]:
         eng.submit(r)
-    eng.run(pipeline_depth=2, drain_every=4)
+    eng.run(pipeline_depth=2, drain_every=5)
     # timed run over the full stream
     t0 = time.perf_counter()
     for r in reqs:
         eng.submit(r)
-    done = eng.run(pipeline_depth=2, drain_every=4)
+    done = eng.run(pipeline_depth=2, drain_every=5)
     dt = time.perf_counter() - t0
     useful = sum(len(r.out_tokens) + 1 for r in done)  # +1: the EOS the user
     return useful / dt, len(done)                      # waits for

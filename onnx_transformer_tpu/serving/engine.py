@@ -214,7 +214,10 @@ class TranslationEngine:
               the buffer nears capacity, so completions are never lost."""
             lin_ = lin_of(payloads)
 
-            # ---- refill (once per chunk): dead slots take staged requests
+            # ---- refill (once per chunk): dead slots take staged requests.
+            # Budget UC bounds the gather/scatter row count (the full-B
+            # refill cost ~1.05 ms/chunk, ~2x the steady-state death rate)
+            UC = min(B, max(2 * U, (self.chunk * B) // 16))
             st = state
             stage = st["stage"]
             g = st["g"]
@@ -224,12 +227,12 @@ class TranslationEngine:
             # backpressure: stop refilling when the completion buffer could
             # overflow before the next drain (worst case: all B slots die)
             room = st["cur"] < C - 2 * B
-            take = free & (rank < avail) & room
+            take = free & (rank < avail) & (rank < UC) & room
             # rank r -> slot index consuming staged entry tail+r
-            slot_of = jnp.full((B,), B, jnp.int32).at[
-                jnp.where(take, rank, B)
+            slot_of = jnp.full((UC,), B, jnp.int32).at[
+                jnp.where(take, rank, UC)
             ].set(jnp.arange(B, dtype=jnp.int32), mode="drop")
-            stage_idx = (st["tail"] + jnp.arange(B, dtype=jnp.int32)) % R
+            stage_idx = (st["tail"] + jnp.arange(UC, dtype=jnp.int32)) % R
             new_layers = []
             for lc, sl in zip(st["cache"]["layers"], stage["layers"]):
                 e = dict(lc)
