@@ -4,4 +4,7 @@ from onnx_transformer_tpu.serving.decode import (  # noqa: F401
     greedy_decode_nocache,
     ids_to_tokens,
 )
-from onnx_transformer_tpu.serving.engine import TranslationEngine  # noqa: F401
+from onnx_transformer_tpu.serving.engine import (  # noqa: F401
+    BucketedEngineFleet,
+    TranslationEngine,
+)

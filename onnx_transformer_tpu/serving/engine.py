@@ -3,21 +3,23 @@
 The reference serves strictly batch-1, re-executing the decoder graph per
 token (``onnx_optimized_custom_inference.py:624-671``).  This engine keeps a
 fixed pool of decode *slots* resident on device and — unlike a host-driven
-refill loop — performs slot refill ON DEVICE, inside the decode scan:
+refill loop — performs slot refill ON DEVICE:
 
 - admission: the host batch-encodes queued requests (one dispatch per
   source-length *bucket*, padded to the bucket length — bit-identical to
   full-length encoding because masked pad positions contribute exact zeros)
   and writes their cross-attention K/V + source mask + request tag into a
-  device-resident *staging ring*;
-- the jitted decode chunk advances all live slots in a ``lax.scan``; each
-  step first refills up to ``refill_per_step`` dead slots straight from the
-  staging ring (a tiny gather + scatter — no host round-trip, no dead
-  ticks), then decodes, then snapshots rows that just finished into a
-  *completed ring* that is fetched once per chunk;
-- the host only dispatches prefill/chunk calls (async) and drains completed
-  reports on a fetcher thread, so slots never wait on host<->device latency
-  (the TPU tunnel charges a fixed poll quantum per blocking fetch).
+  device-resident *staging ring* inside the slot state;
+- the jitted decode chunk first refills dead slots from the staging ring
+  (one bounded gather + scatter per chunk — outside the scan body so the
+  cache stays aliasable through the loop carry), then advances all slots
+  ``chunk_steps`` steps in a ``lax.scan`` on the step-synchronous ring
+  cache, snapshotting rows that finish into a device-resident completion
+  buffer;
+- the host only dispatches prefill/chunk/drain calls (async) and fetches
+  the completion buffer every few chunks on a fetcher thread, so slots
+  never wait on host<->device latency (the TPU tunnel charges a fixed
+  ~30 ms poll quantum per blocking fetch).
 
 The slot pool IS the batch: ``decode_step`` takes a [B] vector of per-row
 positions, so all slots advance in one batched MXU program.  Stale self-KV
@@ -565,4 +567,66 @@ class TranslationEngine:
         finally:
             to_fetch.put(stop)
             th.join()
+        return done
+
+
+class BucketedEngineFleet:
+    """Per-source-bucket pools of :class:`TranslationEngine`.
+
+    The decode step's largest HBM read after the self-KV ring is the
+    cross-attention K/V cache — sized by the pool's ``src_len``.  At the
+    IWSLT14 length distribution (57% of sources fit in 24 tokens, 90% in
+    48) a single S=72 pool reads ~226 MB/step of cross-KV that is ~70%
+    padding; per-bucket pools size the cross cache (and staging ring) to
+    the bucket, cutting that read ~3x for the majority of requests.
+
+    Pools run their queues sequentially (each pool is itself continuous-
+    batching); outputs are identical to a single full-length engine for
+    every request whose source fits its bucket (masked pad positions
+    contribute exact zeros — tested), and sources longer than the largest
+    bucket are truncated exactly like the single engine truncates at
+    ``src_len``.
+    """
+
+    def __init__(self, model, params, lin=default_linear,
+                 pools=((24, 512, 72), (48, 512, 72), (72, 512, 72)),
+                 **engine_kw):
+        # pools: (src_bucket, num_slots, max_len), ascending src_bucket
+        self.pools = sorted(pools)
+        self.engines = {
+            b: TranslationEngine(model, params, lin=lin, num_slots=n,
+                                 src_len=b, max_len=t, buckets=(b,),
+                                 **engine_kw)
+            for b, n, t in self.pools
+        }
+        self._pad = model.cfg.pad_id
+        self._ids = itertools.count()
+        self._routed: dict[tuple, int] = {}
+
+    def submit(self, src_ids) -> int:
+        src = np.asarray(src_ids, np.int32)
+        n = int(np.sum(src != self._pad))
+        bucket = next((b for b, _, _ in self.pools if n <= b),
+                      self.pools[-1][0])
+        eng = self.engines[bucket]
+        row = np.full((bucket,), self._pad, np.int32)
+        take = min(len(src), bucket)
+        row[:take] = src[:take]
+        rid = eng.submit(row)
+        fid = next(self._ids)
+        self._routed[(bucket, rid)] = fid
+        return fid
+
+    def run(self, pipeline_depth: int = 2, drain_every: int = 5):
+        """Drain every pool (largest queue first); returns finished
+        requests with fleet-level ``req_id``."""
+        done = []
+        order = sorted(self.engines,
+                       key=lambda b: -sum(len(q) for q in
+                                          self.engines[b]._queues.values()))
+        for b in order:
+            for req in self.engines[b].run(pipeline_depth=pipeline_depth,
+                                           drain_every=drain_every):
+                req.req_id = self._routed.pop((b, req.req_id), req.req_id)
+                done.append(req)
         return done

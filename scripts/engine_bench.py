@@ -44,6 +44,7 @@ def main():
     ap.add_argument("--max-len", type=int, default=72)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--no-ckpt", action="store_true")
+    ap.add_argument("--fleet", action="store_true")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -84,12 +85,23 @@ def main():
         reqs.append(np.asarray(src[0]))
 
     buckets = tuple(int(b) for b in args.buckets.split(",")) if args.buckets else None
-    eng = TranslationEngine(
-        model, sp, lin=lin8, num_slots=args.slots, src_len=S, max_len=S,
-        chunk_steps=args.chunk, kv_cache_dtype="int8",
-        prefill_chunk=args.prefill, refill_per_step=args.refill,
-        stage_capacity=args.stage, buckets=buckets,
-    )
+    if args.fleet:
+        from onnx_transformer_tpu.serving.engine import BucketedEngineFleet
+
+        eng = BucketedEngineFleet(
+            model, sp, lin=lin8,
+            pools=tuple((b, args.slots, S) for b in (buckets or (S,))),
+            chunk_steps=args.chunk, kv_cache_dtype="int8",
+            prefill_chunk=args.prefill, refill_per_step=args.refill,
+            stage_capacity=args.stage,
+        )
+    else:
+        eng = TranslationEngine(
+            model, sp, lin=lin8, num_slots=args.slots, src_len=S, max_len=S,
+            chunk_steps=args.chunk, kv_cache_dtype="int8",
+            prefill_chunk=args.prefill, refill_per_step=args.refill,
+            stage_capacity=args.stage, buckets=buckets,
+        )
     # warm-up: compile prefill(s) + chunk
     for r in reqs[: min(256, len(reqs))]:
         eng.submit(r)
@@ -109,7 +121,8 @@ def main():
         "mean_out_len": round(useful / max(len(done), 1), 2),
         "slots": args.slots, "chunk": args.chunk, "refill": args.refill,
         "prefill": args.prefill, "buckets": args.buckets,
-        "depth": args.depth, "drain_every": args.drain_every, "stage": eng.R,
+        "depth": args.depth, "drain_every": args.drain_every,
+        "fleet": args.fleet,
     }))
 
 

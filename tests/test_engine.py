@@ -230,3 +230,26 @@ def test_engine_time_major_cache_matches_batch_major(setup):
     ids_t, got_t = run(True)
     for rb_, rt in zip(ids_b, ids_t):
         assert got_b[rb_] == got_t[rt]
+
+
+def test_bucketed_fleet_matches_single_engine(setup):
+    """Per-bucket pools must emit exactly the single full-length engine's
+    outputs for every request whose source fits its bucket."""
+    from onnx_transformer_tpu.serving.engine import BucketedEngineFleet
+
+    m, params, srcs = setup
+    S = srcs.shape[1]
+    max_len = 12
+    single = TranslationEngine(m, params, num_slots=4, src_len=S,
+                               max_len=max_len, chunk_steps=3)
+    fleet = BucketedEngineFleet(m, params,
+                                pools=((6, 2, max_len), (8, 3, max_len),
+                                       (S, 4, max_len)),
+                                chunk_steps=3)
+    ids_s = [single.submit(s) for s in srcs]
+    ids_f = [fleet.submit(s) for s in srcs]
+    got_s = {r.req_id: r.out_tokens for r in single.run()}
+    got_f = {r.req_id: r.out_tokens for r in fleet.run()}
+    assert len(got_f) == len(srcs)
+    for a, b in zip(ids_s, ids_f):
+        assert got_s[a] == got_f[b], (a, b, got_s[a], got_f[b])
