@@ -253,3 +253,30 @@ def test_bucketed_fleet_matches_single_engine(setup):
     assert len(got_f) == len(srcs)
     for a, b in zip(ids_s, ids_f):
         assert got_s[a] == got_f[b], (a, b, got_s[a], got_f[b])
+
+
+def test_engine_chaos_small_rings_interleaved_waves(setup):
+    """Property test: tiny slot pool + tiny staging ring + tiny completion
+    cadence, requests submitted in interleaved waves — every request must
+    complete exactly once with the lockstep-greedy tokens."""
+    m, params, srcs = setup
+    S = srcs.shape[1]
+    max_len = 10
+    want = _greedy_reference(m, params, np.concatenate([srcs] * 3), max_len)
+    eng = TranslationEngine(m, params, num_slots=3, src_len=S,
+                            max_len=max_len, chunk_steps=2, prefill_chunk=2,
+                            stage_capacity=4, buckets=(7, S))
+    got = {}
+    ids = []
+    rng = np.random.default_rng(0)
+    pool = list(np.concatenate([srcs] * 3))
+    while pool or len(got) < len(ids):
+        wave = min(len(pool), int(rng.integers(1, 7)))
+        for _ in range(wave):
+            ids.append(eng.submit(pool.pop(0)))
+        for r in eng.run(pipeline_depth=2, drain_every=2):
+            assert r.req_id not in got, "duplicate completion"
+            got[r.req_id] = r.out_tokens
+    assert len(got) == len(ids) == 27
+    for rid, toks in zip(ids, want):
+        assert got[rid] == toks
