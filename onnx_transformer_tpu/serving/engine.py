@@ -56,6 +56,16 @@ class Request:
     done: bool = False
 
 
+class EngineStalledError(RuntimeError):
+    """Raised by :meth:`TranslationEngine.run` when the device stops
+    completing requests.  Carries the requests that DID finish before the
+    stall in ``done`` so a transient failure loses no results."""
+
+    def __init__(self, msg: str, done: list):
+        super().__init__(msg)
+        self.done = done
+
+
 class TranslationEngine:
     def __init__(
         self,
@@ -187,6 +197,12 @@ class TranslationEngine:
         # gates itself off when the buffer nears capacity (backpressure)
         C = max(4 * B, 2 * (B + chunk_steps * U))
         GWRAP = T * 16384        # global-step wrap period (multiple of T)
+        # head/tail staging counters wrap at a large multiple of R so an
+        # indefinitely running server never overflows int32 (at ~8k req/s a
+        # monotonic int32 tail wraps negative in ~days).  All arithmetic on
+        # them is mod-HWRAP differences over windows < R, which are exact.
+        HWRAP = R * (1 << 16)
+        self._HWRAP = HWRAP
         cross_keys = (("cross_k", "cross_v", "cross_k_scale", "cross_v_scale")
                       if kv_cache_dtype == "int8" else ("cross_k", "cross_v"))
 
@@ -225,7 +241,7 @@ class TranslationEngine:
             g = st["g"]
             free = ~st["live"]
             rank = jnp.cumsum(free) - 1            # [B]
-            avail = head - st["tail"]
+            avail = jnp.mod(head - st["tail"], HWRAP)
             # backpressure: stop refilling when the completion buffer could
             # overflow before the next drain (worst case: all B slots die)
             room = st["cur"] < C - 2 * B
@@ -252,7 +268,7 @@ class TranslationEngine:
                 tok=st["tok"].at[slot_of].set(cfg.bos_id, mode="drop"),
                 start=st["start"].at[slot_of].set(g, mode="drop"),
                 live=st["live"].at[slot_of].set(True, mode="drop"),
-                tail=st["tail"] + jnp.sum(take),
+                tail=jnp.mod(st["tail"] + jnp.sum(take), HWRAP),
             )
             # the staging ring is loop-invariant: keep it out of the scan
             # carry so the while loop only carries what it mutates
@@ -466,7 +482,10 @@ class TranslationEngine:
     def _drain_report(self, report: np.ndarray) -> list[Request]:
         """Process one fetched chunk report: completed rows + ring tail."""
         n_done, tail = int(report[0, 0]), int(report[0, 1])
-        self._tail_known = max(self._tail_known, tail)
+        # device tail wraps at HWRAP; reports arrive in dispatch order and
+        # the in-flight window is < R << HWRAP, so the mod-difference is
+        # the exact consumed count since the last report
+        self._tail_known += (tail - self._tail_known) % self._HWRAP
         finished = []
         cfg = self.model.cfg
         for row in report[1 : 1 + n_done]:
@@ -533,7 +552,7 @@ class TranslationEngine:
                 self._admit()
                 self._state = self._chunk(
                     self.params, self._payloads, self._state,
-                    jnp.asarray(self._head, jnp.int32))
+                    jnp.asarray(self._head % self._HWRAP, jnp.int32))
                 since_drain += 1
                 if since_drain >= drain_every:
                     self._state, report = self._drain(self._state)
@@ -555,9 +574,10 @@ class TranslationEngine:
                     finished = self._drain_report(rep)
                     empty_drains = 0 if finished else empty_drains + 1
                     if empty_drains > 256:
-                        raise RuntimeError(
+                        raise EngineStalledError(
                             "engine stalled: 256 consecutive empty drains "
-                            f"with {len(self._inflight)} requests in flight")
+                            f"with {len(self._inflight)} requests in flight "
+                            f"({len(done)} completed results attached)", done)
                     done.extend(finished)
                     in_flight -= 1
                     self._admit()

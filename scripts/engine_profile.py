@@ -62,7 +62,7 @@ def main():
         prefill_chunk=args.prefill, refill_per_step=args.refill,
         buckets=buckets,
     )
-    state, stage = eng._blank_state()
+    state = eng._blank_state()   # one dict; the staging ring is state["stage"]
 
     data_dir = "/root/reference/data"
     pairs = load_split(data_dir, "test")[: args.prefill] if os.path.exists(data_dir) \
@@ -78,29 +78,25 @@ def main():
         tags = np.arange(k, dtype=np.int32)
         sa, ra, ta = jnp.asarray(src), jnp.asarray(ring_pos), jnp.asarray(tags)
 
-        def call(stage=stage, sa=sa, ra=ra, ta=ta, sb=sb):
-            return eng._prefill[sb](eng.params, eng._payloads, stage, sa, ra, ta)
+        def call(sa=sa, ra=ra, ta=ta, sb=sb):
+            # prefill donates+returns the whole state (stage embedded)
+            nonlocal state
+            state = eng._prefill[sb](eng.params, eng._payloads, state, sa, ra, ta)
+            return state["tag"]
 
-        dt, stage = timed(call, warmup=1, iters=3)
+        dt, _ = timed(call, warmup=1, iters=3)
         print(f"prefill bucket S={sb:3d} k={k}: {dt*1e3:8.2f} ms "
               f"({dt/k*1e3:.3f} ms/req)")
 
     head = jnp.asarray(eng.R, jnp.int32)
 
-    def chunk_call():
-        st2, rep = eng._chunk(eng.params, eng._payloads, state, stage, head)
-        return rep
-
-    # NOTE: state is not donated-safe to reuse after the call under donation;
-    # time with fresh state copies.
-    import copy
-
+    # NOTE: state is donated by _chunk; time with fresh state copies.
     def chunk_fresh():
         st = jax.tree.map(lambda x: x + 0 if hasattr(x, "dtype") else x, state)
         jax.block_until_ready(st)
         t0 = time.perf_counter()
-        st2, rep = eng._chunk(eng.params, eng._payloads, st, stage, head)
-        jax.block_until_ready(rep)
+        st2 = eng._chunk(eng.params, eng._payloads, st, head)
+        jax.block_until_ready(st2["cur"])
         return time.perf_counter() - t0
 
     chunk_fresh()  # compile
