@@ -141,6 +141,75 @@ def _quant_w8a8_kernel(x_ref, w_ref, sw_ref, b_ref, o_ref):
     o_ref[:] = acc.astype(jnp.float32) * (sx * sw_ref[:]) + b_ref[:]
 
 
+def _quant_w8a8_kernel_qout(x_ref, w_ref, sw_ref, b_ref, o_ref):
+    """As _quant_w8a8_kernel, plus a fused per-token fake-quant of the
+    OUTPUT row (the reference's quantize_bmm_input for q/k/v projections,
+    quant_linear.py:111-119) — requires the full output row in one block
+    (n == block_n), true for the d_model-sized attention projections."""
+    x = x_ref[:]
+    absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    sx = jnp.clip(absmax, SCALE_FLOOR, None) / 127.0
+    xq = jnp.round(x / sx).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, w_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * (sx * sw_ref[:]) + b_ref[:]
+    sy = jnp.clip(jnp.max(jnp.abs(y), axis=-1, keepdims=True),
+                  SCALE_FLOOR, None) / 127.0
+    o_ref[:] = jnp.round(y / sy) * sy
+
+
+@partial(jax.jit, static_argnames=("block_m", "interpret"))
+def quant_w8a8_matmul_qout(
+    x: jax.Array,    # f32 [..., K]
+    wq: jax.Array,   # int8 [K, N]
+    sw: jax.Array,   # f32 [N]
+    b: jax.Array | None = None,
+    block_m: int = 256,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Fused per-token input quantize + int8 matmul + dequant + per-token
+    OUTPUT fake-quant, all in one kernel: one HBM read of x, one fp32 write
+    of the already-grid-snapped output.  Ulp-identical to the jnp chain (FMA contraction differs at ~1e-6)
+    ``fake_quant_act_per_token(w8a8(x))``.  Requires K and N to fit single
+    VMEM blocks (the d_model=512 projections)."""
+    interpret = resolve_interpret(interpret)
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    n = wq.shape[-1]
+    assert k <= 2048 and n <= 2048, "qout kernel requires single K/N blocks"
+    x2 = x.reshape(-1, k).astype(jnp.float32)
+    m = x2.shape[0]
+    bm = min(block_m, max(8, 1 << (m - 1).bit_length()))
+    x2 = _pad_to(x2, bm, 0)
+    mp = x2.shape[0]
+    if b is None:
+        b = jnp.zeros((n,), jnp.float32)
+
+    out = pl.pallas_call(
+        _quant_w8a8_kernel_qout,
+        grid=(mp // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, n), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * n * k,
+            bytes_accessed=mp * k * 4 + k * n + mp * n * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x2, wq, sw.reshape(1, n).astype(jnp.float32),
+      b.reshape(1, n).astype(jnp.float32))
+    return out[:m].reshape(*lead, n)
+
+
 def _quant_w8a8_kernel_ktiled(x_ref, w_ref, sw_ref, b_ref, o_ref,
                               acc_ref, amax_ref, *, nk):
     """Two-phase K loop (grid dim length 2*nk, bit-exact with the full-row

@@ -34,7 +34,13 @@ from onnx_transformer_tpu.models.transformer import Transformer, default_linear
 from onnx_transformer_tpu.ops import layers as L
 from onnx_transformer_tpu.quant import core as Q
 
-Mode = Literal["int8", "fake", "pallas"]
+Mode = Literal["int8", "fake", "pallas", "fused"]
+
+# "fused" mode routes a call through the fused-quantize Pallas kernels when
+# the token count is at least this large (prefill/encoder/training shapes);
+# below it the XLA int8 chain wins (kernel launch overhead dominates at the
+# decode step's [B, 1, D] shapes — RESULTS r2 kernel verdict).
+FUSED_MIN_TOKENS = 8192
 
 
 def quantized_linear_names(num_layers: int) -> dict[str, bool]:
@@ -110,11 +116,29 @@ def make_w8a8_linear_impl(
     equivalent of swapping nn.Linear -> W8A8Linear."""
     if mode == "pallas":
         from onnx_transformer_tpu.ops.pallas.w8a8_matmul import w8a8_matmul
+    if mode == "fused":
+        from onnx_transformer_tpu.ops.pallas.w8a8_matmul import (
+            quant_w8a8_matmul,
+            quant_w8a8_matmul_qout,
+        )
 
     def lin(name: str, x, w, b, taps=None, inject=None):
         p = payloads.get(name)
         if p is None:
             return default_linear(name, x, w, b, taps, inject)
+        if (mode == "fused" and taps is None and inject is None
+                and int(np.prod(x.shape[:-1])) >= FUSED_MIN_TOKENS
+                and is_quantized_output(name)
+                and x.shape[-1] <= 2048 and p["wq"].shape[-1] <= 2048):
+            # one-kernel fused path for the q/k/v projections: quantize +
+            # MXU + dequant + per-token OUTPUT fake-quant in one HBM pass —
+            # measured 1.9 vs 3.0 ms at the [36864,512]x[512,512] encoder
+            # shape.  The non-qout linears stay on the XLA chain (XLA's own
+            # fusion beats the plain kernel there, measured 2.4 vs 2.5+).
+            # Ulp-identical to the jnp chain below (FMA contraction).
+            # Taps/injection need the x_q/out seams -> fall through.
+            return quant_w8a8_matmul_qout(x, p["wq"], p["sw"], p["b"],
+                                          block_m=512)
         x = L.tap(name, x, taps, inject)  # calibration-compatible input tap
         sx = Q.act_scale_per_token(x, bits)
         xq = Q.quantize(x, sx, bits)
