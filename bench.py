@@ -4,10 +4,11 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
 Headline: decode tokens/sec/chip of the W8A8 model with int8 KV cache under
-batched greedy decode — the all-int8-operand attention formulation
-(ops/layers.py:int8_cache_attention_qdot: score dot int8 on the MXU in the
-cache's storage layout, AV as one batched dot with block-diagonal select)
-plus raw-logit argmax (no log_softmax).  The reference's serving path
+batched greedy decode — round-4 chunk-staged decode
+(models/stacked_decode.py: C steps unrolled per scanned chunk, K/V rows
+in-flight as extra softmax columns, ONE [B,C,D] cache write per buffer per
+chunk) with all-int8-operand attention and fused-quantize Pallas prefill
+kernels, raw-logit argmax (no log_softmax).  The reference's serving path
 re-executes the full decoder ONNX graph per token on CPU with no cache
 (``onnx_optimized_custom_inference.py:624-671``) and publishes no numbers,
 so ``vs_baseline`` is the speedup over OUR OWN FP32 KV-cached decode of the
@@ -51,6 +52,7 @@ from onnx_transformer_tpu import Transformer, TransformerConfig
 from onnx_transformer_tpu.data.dataset import collate, load_split
 from onnx_transformer_tpu.data.vocab import load_iwslt14_vocab
 from onnx_transformer_tpu.evaluation.bleu import corpus_bleu
+from onnx_transformer_tpu.models import stacked_decode as SD
 from onnx_transformer_tpu.ops import layers as L
 from onnx_transformer_tpu.quant import w8a8 as W
 from onnx_transformer_tpu.serving import decode as D
@@ -129,13 +131,14 @@ def decode_step_bytes(cfg, batch: int, max_len: int, int8_gen: bool) -> int:
 
 
 def run_engine_stream(model, params, lin8, pairs, vs, vt):
-    """Continuous-batching engine over a realistic request stream."""
+    """Continuous-batching engine over a realistic request stream.
+    Returns (useful tok/s, completed requests, slot occupancy)."""
     from onnx_transformer_tpu.serving.engine import TranslationEngine
 
     eng = TranslationEngine(
         model, params, lin=lin8, num_slots=BATCH, src_len=MAX_LEN,
-        max_len=MAX_LEN, chunk_steps=6, kv_cache_dtype="int8",
-        prefill_chunk=256, stage_capacity=2048, buckets=(24, 48, 72),
+        max_len=MAX_LEN, chunk_steps=12, kv_cache_dtype="int8",
+        prefill_chunk=512, stage_capacity=4096, buckets=(24, 48, 72),
     )
     reqs = []
     for s, _ in pairs:
@@ -144,15 +147,17 @@ def run_engine_stream(model, params, lin8, pairs, vs, vt):
     # warm-up compile: one small run
     for r in reqs[: min(256, len(reqs))]:
         eng.submit(r)
-    eng.run(pipeline_depth=2, drain_every=5)
+    eng.run(pipeline_depth=2, drain_every=4)
+    eng.occ_live_steps = eng.occ_slot_steps = 0
     # timed run over the full stream
     t0 = time.perf_counter()
     for r in reqs:
         eng.submit(r)
-    done = eng.run(pipeline_depth=2, drain_every=5)
+    done = eng.run(pipeline_depth=2, drain_every=4)
     dt = time.perf_counter() - t0
     useful = sum(len(r.out_tokens) + 1 for r in done)  # +1: the EOS the user
-    return useful / dt, len(done)                      # waits for
+    occ = eng.occ_live_steps / max(eng.occ_slot_steps, 1)  # waits for
+    return useful / dt, len(done), occ
 
 
 def main():
@@ -180,16 +185,28 @@ def main():
     # and rebind the quantized impl inside the trace (quant/w8a8.py)
     pl8, pl8g = lin8.payloads, lin8g.payloads
     rb8, rb8g = lin8.rebind, lin8g.rebind
+    # fused mode: same payloads, fused-quantize Pallas kernels for the
+    # prefill-shape q/k/v projections (ulp-identical, round-4)
+    linf = W.make_w8a8_linear_impl(pl8, mode="fused")
+    rbf = linf.rebind
+    stacked = jax.device_put(SD.build_stacked(model, sp, pl8))
+    stacked_g = jax.device_put(SD.build_stacked(model, sp_g, pl8g))
+    CHUNK = 8   # lockstep chunk size (engine uses 12; see RESULTS.md sweep)
 
-    # headline: int8 KV cache + all-int8-operand attention (XLA path)
-    dec_int8 = jax.jit(lambda p, pl, s, m: D.greedy_decode(
+    # headline: chunk-staged decode + fused-quantize prefill (round 4)
+    dec_int8 = jax.jit(lambda p, pl, st, s, m: SD.greedy_decode_chunked(
+        model, p, st, s, m, MAX_LEN, chunk=CHUNK, lin=rbf(pl)))
+    t_int8, ys_q = timed(dec_int8, sp, pl8, stacked, src, sm)
+
+    # round-3 general path (regression reference)
+    dec_gen = jax.jit(lambda p, pl, s, m: D.greedy_decode(
         model, p, s, m, MAX_LEN, lin=rb8(pl), kv_cache_dtype="int8"))
-    t_int8, ys_q = timed(dec_int8, sp, pl8, src, sm)
+    t_r3, _ = timed(dec_gen, sp, pl8, src, sm)
 
-    # int8-generator variant
-    dec_gen8 = jax.jit(lambda p, pl, s, m: D.greedy_decode(
-        model, p, s, m, MAX_LEN, lin=rb8g(pl), kv_cache_dtype="int8"))
-    t_gen8, ys_g = timed(dec_gen8, sp_g, pl8g, src, sm)
+    # int8-generator variant (chunked)
+    dec_gen8 = jax.jit(lambda p, pl, st, s, m: SD.greedy_decode_chunked(
+        model, p, st, s, m, MAX_LEN, chunk=CHUNK, lin=rb8g(pl)))
+    t_gen8, ys_g = timed(dec_gen8, sp_g, pl8g, stacked_g, src, sm)
 
     # fused Pallas attention kernel variant (regression metric)
     dec_fused = jax.jit(lambda p, pl, s, m: D.greedy_decode(
@@ -213,7 +230,7 @@ def main():
     # differs enough to corrupt the subtraction.)
     def _prefill_probe(p, pl, s, m):
         cache = model.init_cache(
-            p, model.encode(p, s, m, lin=rb8(pl)), MAX_LEN, lin=rb8(pl),
+            p, model.encode(p, s, m, lin=rbf(pl)), MAX_LEN, lin=rbf(pl),
             cache_dtype="int8")
         # reduce over the cross-K/V so the encoder + projections cannot be
         # dead-code-eliminated (the self-cache entries are just zeros)
@@ -222,7 +239,8 @@ def main():
                    for lc in cache["layers"])
 
     t_pre, _ = timed(jax.jit(_prefill_probe), sp, pl8, src, sm)
-    loop_step = max(t_int8 - t_pre, 1e-9) / DECODE_STEPS
+    # the chunked decode runs MAX_LEN steps (last chunk overhang)
+    loop_step = max(t_int8 - t_pre, 1e-9) / MAX_LEN
 
     ys_q_np = np.array(ys_q)
     useful = useful_tokens(ys_q_np)
@@ -230,8 +248,8 @@ def main():
     toks_fp = BATCH * DECODE_STEPS / t_fp
 
     # engine over a realistic stream (the serving configuration)
-    engine_useful_rate, engine_done = run_engine_stream(
-        model, sp, lin8, pairs[: BATCH * 12], vs, vt)
+    engine_useful_rate, engine_done, engine_occ = run_engine_stream(
+        model, sp, linf, pairs[: BATCH * 12], vs, vt)
 
     step_bytes = decode_step_bytes(cfg, BATCH, MAX_LEN, int8_gen=False)
     hbm_floor = step_bytes / (HBM_GBPS * 1e9)
@@ -248,6 +266,8 @@ def main():
                                "meaningfully comparable)",
         "engine_useful_tokens_per_sec": round(engine_useful_rate, 1),
         "engine_requests": engine_done,
+        "engine_occupancy": round(engine_occ, 3),
+        "r3_general_path_tokens_per_sec": round(BATCH * DECODE_STEPS / t_r3, 1),
         "useful_tokens_per_sec": round(useful / t_int8, 1),
         "early_exit_useful_tokens_per_sec": round(
             useful_tokens(np.array(ys_ee)) / t_ee, 1),

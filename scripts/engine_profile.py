@@ -95,7 +95,7 @@ def main():
         st = jax.tree.map(lambda x: x + 0 if hasattr(x, "dtype") else x, state)
         jax.block_until_ready(st)
         t0 = time.perf_counter()
-        st2 = eng._chunk(eng.params, eng._payloads, st, head)
+        st2 = eng._dispatch_chunk(st, head)
         jax.block_until_ready(st2["cur"])
         return time.perf_counter() - t0
 

@@ -280,3 +280,37 @@ def test_engine_chaos_small_rings_interleaved_waves(setup):
     assert len(got) == len(ids) == 27
     for rid, toks in zip(ids, want):
         assert got[rid] == toks
+
+
+def test_fast_chunk_path_matches_lockstep_int8():
+    """The chunk-staged fast engine path (int8 + payloads, single chip)
+    must produce the same outputs as lockstep greedy decode."""
+    import onnx_transformer_tpu.quant.w8a8 as W8
+
+    cfg = TransformerConfig(
+        src_vocab_size=37, tgt_vocab_size=31, num_layers=2, d_model=32,
+        d_ff=64, num_heads=4, dropout=0.0,
+    )
+    m = Transformer(cfg)
+    sp, lin8 = W8.quantize_transformer(m, m.init(jax.random.key(11)), mode="int8")
+    rng = np.random.default_rng(3)
+    S, T = 8, 12
+    src = rng.integers(4, 37, (10, S)).astype(np.int32)
+    src[2, -3:] = cfg.pad_id
+    eng = TranslationEngine(m, sp, lin=lin8, num_slots=4, src_len=S,
+                            max_len=T, chunk_steps=3, kv_cache_dtype="int8")
+    assert eng._stacked is not None, "fast path not engaged"
+    for row in src:
+        eng.submit(row)
+    done = {r.req_id: r for r in eng.run()}
+    sm = L.make_src_mask(jnp.asarray(src), pad=cfg.pad_id)
+    ys = np.array(D.greedy_decode(m, sp, jnp.asarray(src), sm, T, lin=lin8,
+                                  kv_cache_dtype="int8"))
+    for i in range(len(src)):
+        exp = []
+        for t in ys[i, 1:]:
+            if t in (cfg.eos_id, cfg.pad_id):
+                break
+            exp.append(int(t))
+        exp = exp[: T - 1]  # engine kill rule caps output length
+        assert done[i].out_tokens == exp, (i, done[i].out_tokens, exp)
