@@ -160,6 +160,47 @@ def run_engine_stream(model, params, lin8, pairs, vs, vt):
     return useful / dt, len(done), occ
 
 
+def train_flops_per_token(cfg) -> float:
+    """Analytic fwd+bwd matmul FLOPs/token (backward ~2x forward)."""
+    d, ff, v, n = cfg.d_model, cfg.d_ff, cfg.tgt_vocab_size, cfg.num_layers
+    enc = n * (4 * d * d + 2 * d * ff)
+    dec = n * (8 * d * d + 2 * d * ff)
+    return 3 * 2.0 * (enc + dec + d * v)
+
+
+def run_train_probe(vs, vt, pairs):
+    """Short bf16 mixed-precision training measurement (VERDICT r3 #4):
+    one token-budget bucket shape ([256, 48] ~ budget 12288), real data,
+    steady-state steps.  Returns (tokens/sec, MFU, ms/step)."""
+    from onnx_transformer_tpu.data.dataset import Batch
+    from onnx_transformer_tpu.train import trainer as T
+
+    cfgT = TransformerConfig(len(vs), len(vt), scan_layers=True)
+    mt = Transformer(cfgT)
+    tx = T.make_optimizer(cfgT.d_model)
+    state = jax.device_put(T.init_state(mt, tx, jax.random.key(0)).tree())
+    step = T.make_train_step(mt, tx, donate=True, compute_dtype=jnp.bfloat16)
+    sel = [p for p in pairs
+           if max(len(p[0].split()), len(p[1].split())) + 2 <= 48][:256]
+    while len(sel) < 256:
+        sel = sel + sel
+    src, tgt = collate(sel[:256], vs, vt, 48)
+    batch = T.batch_to_arrays(Batch.make(np.asarray(src), np.asarray(tgt)))
+    key = jax.random.key(5)
+    state, m = step(state, batch, key)
+    np.asarray(m["loss"])          # compile + completion barrier
+    iters = 12
+    t0 = time.perf_counter()
+    ntok = 0.0
+    for _ in range(iters):
+        state, m = step(state, batch, key)
+    ntok = float(np.asarray(m["ntokens"])) * iters
+    dt = time.perf_counter() - t0
+    rate = ntok / dt
+    mfu = rate * train_flops_per_token(cfgT) / 197e12
+    return rate, mfu, dt / iters * 1e3
+
+
 def main():
     vs, vt = load_iwslt14_vocab()
     cfg = TransformerConfig(len(vs), len(vt))
@@ -251,6 +292,9 @@ def main():
     engine_useful_rate, engine_done, engine_occ = run_engine_stream(
         model, sp, linf, pairs[: BATCH * 12], vs, vt)
 
+    # bf16 mixed-precision training throughput (single bucket shape)
+    train_rate, train_mfu, train_ms = run_train_probe(vs, vt, pairs)
+
     step_bytes = decode_step_bytes(cfg, BATCH, MAX_LEN, int8_gen=False)
     hbm_floor = step_bytes / (HBM_GBPS * 1e9)
 
@@ -268,6 +312,9 @@ def main():
         "engine_requests": engine_done,
         "engine_occupancy": round(engine_occ, 3),
         "r3_general_path_tokens_per_sec": round(BATCH * DECODE_STEPS / t_r3, 1),
+        "train_tokens_per_sec_bf16": round(train_rate, 1),
+        "train_mfu": round(train_mfu, 4),
+        "train_step_ms": round(train_ms, 1),
         "useful_tokens_per_sec": round(useful / t_int8, 1),
         "early_exit_useful_tokens_per_sec": round(
             useful_tokens(np.array(ys_ee)) / t_ee, 1),

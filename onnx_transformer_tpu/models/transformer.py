@@ -473,6 +473,13 @@ class Transformer:
                 return self._encoder_layer(lp, h, mask, lrngs, train, None, None,
                                            lin, "encoder.layers.s"), None
 
+            if train:
+                # rematerialise the layer body in backward: saving the
+                # per-layer intermediates through the scan carry cost
+                # ~155 ms/step of layout copies + f32 residual stacks at
+                # B=128 (profiled round 4); recomputing them costs a third
+                # of the (much cheaper) matmul FLOPs
+                body = jax.checkpoint(body)
             x, _ = jax.lax.scan(body, x, (stacked, keys))
             ln_f = params["encoder"]["ln"]
             return L.layer_norm(x, ln_f["scale"], ln_f["bias"])
@@ -543,6 +550,9 @@ class Transformer:
                                            train, None, None, lin,
                                            "decoder.layers.s"), None
 
+            if train:
+                body = jax.checkpoint(body)   # see encode: residual-save
+                                              # copies dominate the step
             x, _ = jax.lax.scan(body, x, (stacked, keys))
             ln_f = params["decoder"]["ln"]
             return L.layer_norm(x, ln_f["scale"], ln_f["bias"])

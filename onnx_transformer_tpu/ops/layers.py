@@ -49,12 +49,19 @@ def tap(name: str, x: jax.Array, taps: TapDict = None, inject: InjectDict = None
 
 
 def layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array, eps: float = 1e-6):
-    """a_2 * (x - mean) / (std + eps) + b_2 with ddof=1 std (layer_norm.py:12-15)."""
+    """a_2 * (x - mean) / (std + eps) + b_2 with ddof=1 std (layer_norm.py:12-15).
+
+    The moment reductions always run in f32: under bf16 mixed-precision
+    training an 8-bit-mantissa variance accumulation is unstable; for f32
+    inputs this is the identity."""
+    dt = x.dtype
+    x = x.astype(jnp.float32)
     mean = jnp.mean(x, axis=-1, keepdims=True)
     d = x.shape[-1]
     var = jnp.sum((x - mean) ** 2, axis=-1, keepdims=True) / (d - 1)
     std = jnp.sqrt(var)
-    return scale * (x - mean) / (std + eps) + bias
+    return (scale.astype(jnp.float32) * (x - mean) / (std + eps)
+            + bias.astype(jnp.float32)).astype(dt)
 
 
 def linear(x: jax.Array, w: jax.Array, b: Optional[jax.Array] = None):

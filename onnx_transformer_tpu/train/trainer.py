@@ -58,10 +58,20 @@ def init_state(model: Transformer, tx, rng: jax.Array) -> TrainState:
 
 
 def _loss_fn(model, params, src, tgt_in, tgt_y, src_mask, tgt_mask, rng, smoothing,
-             lin=default_linear):
-    logp = model.forward_logits(
-        params, src, tgt_in, src_mask, tgt_mask, rng=rng, train=True, lin=lin
-    )
+             lin=default_linear, compute_dtype=None):
+    """Forward + label-smoothing KL.  ``compute_dtype=bfloat16`` runs the
+    model forward/backward in bf16 (params cast inside the loss, so
+    autodiff returns f32 MASTER gradients through the cast) while the
+    log-softmax + KL always run in f32 — the standard mixed-precision
+    recipe, halving the HBM traffic the d=512 matmuls are bound by."""
+    if compute_dtype is not None:
+        params = jax.tree.map(
+            lambda p: p.astype(compute_dtype)
+            if hasattr(p, "dtype") and p.dtype == jnp.float32 else p, params)
+    h = model.forward(params, src, tgt_in, src_mask, tgt_mask,
+                      rng=rng, train=True, lin=lin)
+    logits = model.generate(params, h, lin=lin, log_probs=False)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     loss, ntok = loss_and_ntokens(logp, tgt_y, model.cfg.pad_id, smoothing)
     ntok = jnp.maximum(ntok, 1)
     return loss / ntok, (loss, ntok)
@@ -75,6 +85,7 @@ def make_train_step(
     smoothing: float = 0.1,
     donate: bool = True,
     lin=default_linear,
+    compute_dtype=None,
 ):
     """Build the compiled train step.
 
@@ -82,6 +93,10 @@ def make_train_step(
     ``lin`` swaps the linear implementation — e.g. a QAT fake-quant impl
     (quant/int4.make_qat_linear_impl), the TPU-native version of training
     with Brevitas QuantLinears (reference README.md:9-12).
+    ``compute_dtype=jnp.bfloat16`` enables mixed precision: bf16 storage
+    for the forward/backward with f32 master weights, optimizer moments,
+    and loss (the reference trains pure f32 on GPUs,
+    distributed/iwslt14_train.py:377-380).
     Returns fn(state_tree, batch, rng) -> (state_tree, metrics).
     """
 
@@ -89,7 +104,7 @@ def make_train_step(
         src, tgt_in, tgt_y, src_mask, tgt_mask = micro
         (loss_mean, (loss, ntok)), grads = jax.value_and_grad(
             lambda p: _loss_fn(model, p, src, tgt_in, tgt_y, src_mask, tgt_mask, rng,
-                               smoothing, lin),
+                               smoothing, lin, compute_dtype),
             has_aux=True,
         )(params)
         return grads, loss, ntok

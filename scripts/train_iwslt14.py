@@ -78,11 +78,19 @@ def main():
     ap.add_argument("--base-lr", type=float, default=1.0)
     ap.add_argument("--warmup", type=int, default=3000)
     ap.add_argument("--accum", type=int, default=1)
+    ap.add_argument("--token-budget", type=int, default=None,
+                    help="token-count batching (reference batch_size_fn, "
+                         "train.py:48-58): fixed per-length-bucket batch "
+                         "sizes ~budget/len; cuts padding waste ~2-3x")
     ap.add_argument("--out", default="checkpoints/iwslt14")
     ap.add_argument("--eval-every", type=int, default=5)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--qat", choices=["none", "w8a8", "w4a8"], default="none",
                     help="quantization-aware training (STE fake-quant linears)")
+    ap.add_argument("--dtype", choices=["fp32", "bf16"], default="fp32",
+                    help="bf16: mixed-precision forward/backward with f32 "
+                         "master weights + optimizer moments (train/trainer."
+                         "py:_loss_fn); the reference trains pure fp32")
     ap.add_argument("--pipeline", type=int, default=0, metavar="STAGES",
                     help="GPipe pipeline parallelism over a 'pipe' mesh axis "
                          "(data x pipe x model mesh; needs >= STAGES devices)")
@@ -196,7 +204,10 @@ def main():
             model, tx, mesh, n_micro=args.pipeline_micro, donate=True, lin=lin)
         args.accum = 1  # microbatching subsumes accumulation
     else:
-        step_fn = T.make_train_step(model, tx, accum=args.accum, donate=True, lin=lin)
+        import jax.numpy as jnp
+        cdt = jnp.bfloat16 if args.dtype == "bf16" else None
+        step_fn = T.make_train_step(model, tx, accum=args.accum, donate=True,
+                                    lin=lin, compute_dtype=cdt)
 
     start_epoch = 0
     if args.resume and os.path.exists(ckpt_path):
@@ -220,6 +231,7 @@ def main():
         train_pairs, vs, vt, batch_size=args.batch_size,
         max_padding=args.max_padding, seed=7,
         num_shards=args.num_processes, shard_index=args.process_id,
+        token_budget=args.token_budget,
     )
 
     rng = jax.random.key(1234)

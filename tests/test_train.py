@@ -142,3 +142,41 @@ def test_tensor_parallel_mesh_step_runs():
     step2 = T.make_train_step(model, tx, mesh=mesh, donate=False)
     tree_tp, m_tp = step2(tree, sharded, jax.random.key(5))
     assert float(m_tp["loss"]) == pytest.approx(float(m_sd["loss"]), rel=1e-3)
+
+
+def test_bf16_mixed_precision_matches_fp32_trajectory():
+    """bf16 compute with f32 master weights (compute_dtype=bfloat16) must
+    track the f32 loss trajectory closely over a short run (VERDICT r3 #4)."""
+    import jax.numpy as jnp
+
+    cfg = TransformerConfig(
+        src_vocab_size=41, tgt_vocab_size=37, num_layers=2, d_model=32,
+        d_ff=64, num_heads=4, dropout=0.0,
+    )
+    model = Transformer(cfg)
+    tx = T.make_optimizer(cfg.d_model, warmup=10)
+    state32 = T.init_state(model, tx, jax.random.key(0)).tree()
+    state16 = jax.tree.map(lambda x: x, state32)
+
+    step32 = T.make_train_step(model, tx, donate=False)
+    step16 = T.make_train_step(model, tx, donate=False,
+                               compute_dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    losses32, losses16 = [], []
+    for i in range(8):
+        src = rng.integers(4, 41, (8, 10)).astype(np.int32)
+        tgt = rng.integers(4, 37, (8, 10)).astype(np.int32)
+        tgt[:, 0] = cfg.bos_id
+        batch = T.batch_to_arrays(Batch.make(src, tgt))
+        key = jax.random.key(100 + i)
+        state32, m32 = step32(state32, batch, key)
+        state16, m16 = step16(state16, batch, key)
+        losses32.append(float(m32["loss"]) / float(m32["ntokens"]))
+        losses16.append(float(m16["loss"]) / float(m16["ntokens"]))
+    # params stay f32 master copies
+    assert all(l.dtype == jnp.float32
+               for l in jax.tree.leaves(state16["params"]))
+    # same downward trajectory within ~1% per step
+    for a, b in zip(losses32, losses16):
+        assert abs(a - b) / a < 0.01, (losses32, losses16)
+    assert losses16[-1] < losses16[0]
