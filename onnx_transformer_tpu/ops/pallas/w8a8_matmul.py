@@ -343,3 +343,81 @@ def quant_w8a8_matmul(
         interpret=interpret,
     )(x2, wq, sw2, b2)
     return out[:m].reshape(*lead, n)
+
+
+def _quant_w4a8_kernel(x_ref, wp_ref, sw_ref, b_ref, o_ref):
+    """Fused W4A8 matmul: per-token int8 activation quantize + PACKED-int4
+    weight unpack in VMEM + int8 MXU matmul + dequant epilogue.
+
+    The weight block arrives as uint8 nibble pairs [K/2, N] — HALF the HBM
+    bytes of the int8 path (the whole point of int4 deployment,
+    reference README.md:9-12); sign-extension and interleave happen on
+    registers after the DMA, so no int8-sized weight tensor ever exists in
+    HBM (quant/int4.py's XLA fallback materialises one per call)."""
+    x = x_ref[:]
+    absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    sx = jnp.clip(absmax, SCALE_FLOOR, None) / 127.0
+    xq = jnp.round(x / sx).astype(jnp.int8)
+    # Mosaic can't legalize uint8 logical shifts (arith.shrui); do the
+    # nibble split in int32 (arith shift is legal there)
+    wp = wp_ref[:].astype(jnp.int32)                # from uint8 [K/2, N]
+    lo = wp & 0xF
+    hi = (wp >> 4) & 0xF
+    lo = jnp.where(lo > 7, lo - 16, lo).astype(jnp.int8)   # sign-extend
+    hi = jnp.where(hi > 7, hi - 16, hi).astype(jnp.int8)
+    # rows interleave: packed row r holds original rows 2r (lo) / 2r+1 (hi)
+    k2, n = wp.shape
+    w = jnp.stack([lo, hi], axis=1).reshape(2 * k2, n)
+    acc = jax.lax.dot_general(
+        xq, w, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    o_ref[:] = acc.astype(jnp.float32) * (sx * sw_ref[:]) + b_ref[:]
+
+
+@partial(jax.jit, static_argnames=("block_m", "block_n", "interpret"))
+def quant_w4a8_matmul(
+    x: jax.Array,          # f32 [..., K]
+    wq_packed: jax.Array,  # uint8 [K//2, N] nibble pairs (quant/core.pack_int4)
+    sw: jax.Array,         # f32 [N] per-out-channel int4 scales
+    b: jax.Array | None = None,
+    block_m: int = 512,
+    block_n: int = 512,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Fused per-token quantize + packed-int4 x int8 matmul.  Bit-identical
+    to ``unpack_int4`` + the W4A8 XLA chain up to FMA contraction (~1e-6).
+    Requires K to fit one VMEM block (d_model/d_ff-sized contractions)."""
+    interpret = resolve_interpret(interpret)
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    n = wq_packed.shape[-1]
+    assert wq_packed.shape[0] * 2 == k and k <= 4096
+    x2 = x.reshape(-1, k).astype(jnp.float32)
+    m = x2.shape[0]
+    bm = min(block_m, max(8, 1 << (m - 1).bit_length()))
+    bn = min(block_n, n)
+    x2 = _pad_to(x2, bm, 0)
+    mp = x2.shape[0]
+    if b is None:
+        b = jnp.zeros((n,), jnp.float32)
+
+    out = pl.pallas_call(
+        _quant_w4a8_kernel,
+        grid=(mp // bm, n // bn),
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k // 2, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, n), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * n * k,
+            bytes_accessed=mp * k * 4 + k * n // 2 + mp * n * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x2, wq_packed, sw.reshape(1, n).astype(jnp.float32),
+      b.reshape(1, n).astype(jnp.float32))
+    return out[:m].reshape(*lead, n)

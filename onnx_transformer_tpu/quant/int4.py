@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from typing import Callable
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -74,13 +76,32 @@ def quantize_model_params_int4(model: Transformer, params: dict) -> dict:
     return payloads
 
 
-def make_w4a8_linear_impl(payloads: dict, a_bits: int = 8) -> Callable:
-    """Deployment impl: packed-int4 weights, int8 activations."""
+def make_w4a8_linear_impl(payloads: dict, a_bits: int = 8,
+                          fused: bool = True) -> Callable:
+    """Deployment impl: packed-int4 weights, int8 activations.
+
+    ``fused``: route big-shape calls (prefill/encoder/eval forward) through
+    the packed-int4 Pallas kernel — nibbles unpack in VMEM after the DMA,
+    so weight HBM reads are HALF the int8 path's and no unpacked int8
+    weight tensor ever materialises (the XLA fallback below rebuilds one
+    per call — XLA hoists it out of decode loops, so the int4 DECODE
+    step's weight reads are int8-sized; the kernel is where the int4
+    bandwidth story is real)."""
+    if fused:
+        from onnx_transformer_tpu.ops.pallas.w8a8_matmul import quant_w4a8_matmul
 
     def lin(name: str, x, w, b, taps=None, inject=None):
         p = payloads.get(name)
         if p is None:
             return default_linear(name, x, w, b, taps, inject)
+        if (fused and taps is None and inject is None and a_bits == 8
+                and int(np.prod(x.shape[:-1])) >= 8192
+                and x.shape[-1] <= 4096
+                and p["wq_packed"].shape[-1] % min(512, p["wq_packed"].shape[-1]) == 0):
+            y = quant_w4a8_matmul(x, p["wq_packed"], p["sw"], p["b"])
+            if is_quantized_output(name):
+                y = Q.fake_quant_act_per_token(y, a_bits)
+            return y
         x = L.tap(name, x, taps, inject)
         sx = Q.act_scale_per_token(x, a_bits)
         xq = Q.quantize(x, sx, a_bits)
@@ -103,5 +124,5 @@ def make_w4a8_linear_impl(payloads: dict, a_bits: int = 8) -> Callable:
     lin.quantized_output_grid = True
     # see quant/w8a8.py: pass payloads as jit args, not closure consts
     lin.payloads = payloads
-    lin.rebind = lambda p: make_w4a8_linear_impl(p, a_bits)
+    lin.rebind = lambda p: make_w4a8_linear_impl(p, a_bits, fused)
     return lin

