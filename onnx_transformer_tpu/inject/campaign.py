@@ -531,10 +531,18 @@ def run_campaign(
     bits: int = 8,
     csv_path: Optional[str] = None,
     log_fn=None,
-    fanout: int = 8,
+    fanout: int = 16,
 ) -> CampaignResult:
     """Golden decode once, then faulty decodes in vmapped groups of
     ``fanout`` — the whole sweep reuses ONE compiled executable.
+
+    Default from the round-4 on-chip sweep (252 specs x 8 sentences):
+    fanout 8 -> 1.87, 16 -> 2.33, 32 -> 2.11 steady exp/s.  Note: results
+    are bit-deterministic at fixed fanout, but CHANGING fanout can flip a
+    few faulty trajectories (different vmap widths compile to different
+    fusions; ulp-level score changes cascade through greedy argmax on
+    perturbed decodes) — the same sensitivity as the reference's dual
+    qonnx-vs-ORT executors.
 
     CSV schema: ``layer,golden_bleu,faulty_bleu,bit,fault_model`` with a
     header row.  This is a *superset* of the reference's results.csv, whose

@@ -46,7 +46,7 @@ def main():
     ap.add_argument("--max-len", type=int, default=64)
     ap.add_argument("--out", default="results_fault_injection/results.csv")
     ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--fanout", type=int, default=8,
+    ap.add_argument("--fanout", type=int, default=16,
                     help="experiments per vmapped dispatch (on-device "
                          "replacement for the reference's process Pool)")
     ap.add_argument("--from-json", default=None,
