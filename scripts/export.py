@@ -41,6 +41,10 @@ def main():
     ap.add_argument("--max-len", type=int, default=72)
     ap.add_argument("--out", default=None)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--onnx", action="store_true",
+                    help="also emit QDQ encoder.onnx/decoder.onnx (weight-"
+                         "QDQ graphs any ONNX runtime loads; the reference's "
+                         "serve format, encoder_decoder.py:31-52)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -68,6 +72,14 @@ def main():
     export_model(model, params, out, batch_sizes=batch_sizes,
                  src_len=args.src_len, max_len=args.max_len, lin=lin,
                  mode=args.mode, kv_cache_dtype=kv)
+    if args.onnx:
+        from onnx_transformer_tpu.export.onnx_qdq import export_qdq_onnx
+        from onnx_transformer_tpu.quant import w8a8 as W
+
+        payloads = W.quantize_model_params(model, params)
+        paths = export_qdq_onnx(model, params, payloads, out)
+        for k, pth in paths.items():
+            print(f"  {k}.onnx: {os.path.getsize(pth)/1e6:.1f} MB")
     total = sum(os.path.getsize(os.path.join(out, f)) for f in os.listdir(out))
     print(f"exported {args.mode} bundle -> {out} ({total/1e6:.1f} MB)")
 
