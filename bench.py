@@ -311,7 +311,7 @@ def main():
 
     ys_q_np = np.array(ys_q)
     useful = useful_tokens(ys_q_np)
-    steps_rate = BATCH * DECODE_STEPS / t_int8
+    steps_rate = BATCH * MAX_LEN / t_int8   # chunked decode runs MAX_LEN steps
     toks_fp = BATCH * DECODE_STEPS / t_fp
 
     # bf16 mixed-precision training throughput (single bucket shape) —
@@ -336,12 +336,12 @@ def main():
         "train_tokens_per_sec_bf16": round(train_rate, 1),
         "train_mfu": round(train_mfu, 4),
         "train_step_ms": round(train_ms, 1),
-        "int4_tokens_per_sec": round(BATCH * DECODE_STEPS / t_i4, 1),
+        "int4_tokens_per_sec": round(BATCH * MAX_LEN / t_i4, 1),
         "latency_b1_ms_per_token": round(t_b1 * 1e3 / DECODE_STEPS, 3),
         "useful_tokens_per_sec": round(useful / t_int8, 1),
         "early_exit_useful_tokens_per_sec": round(
             useful_tokens(np.array(ys_ee)) / t_ee, 1),
-        "int8_generator_tokens_per_sec": round(BATCH * DECODE_STEPS / t_gen8, 1),
+        "int8_generator_tokens_per_sec": round(BATCH * MAX_LEN / t_gen8, 1),
         "fused_attn_kernel_tokens_per_sec": round(BATCH * DECODE_STEPS / t_fused, 1),
         "fp32_kv_cache_tokens_per_sec": round(toks_fp, 1),
         "decode_loop_ms_per_step": round(loop_step * 1e3, 3),

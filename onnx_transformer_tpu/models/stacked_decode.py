@@ -44,8 +44,6 @@ fast.  Reference anchor: the per-token full-graph rebuild this replaces,
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -165,48 +163,13 @@ def _qdot_attn(
     mask: jax.Array,    # bool [B, T]    True = attend
     num_heads: int,
     quantize: bool,
-    extra: Optional[tuple] = None,  # (kq_row [B,D] i8, ks_row [B],
-                                    #  vq_row [B,D] i8, vs_row [B])
 ) -> jax.Array:
-    """All-int8-operand attention (ops/layers.py:int8_cache_attention_qdot)
-    taking the query already quantized, with an optional explicit extra
-    key/value column for the CURRENT token (deferred-cache-write mode:
-    appending its score column is mathematically identical to writing the
-    row into the cache first — same logit set, same softmax).
-    Returns merged-head context [B, D] f32."""
-    b, t, d = kq.shape
-    h = num_heads
-    dk = d // h
-    inv = np.float32(1.0 / np.sqrt(dk))
-    hsel = jnp.asarray(_hsel(d, h))
-    qbd = jnp.where(hsel[None], qi[:, :, None], 0)                  # [B,D,H] i8
-    s32 = jax.lax.dot_general(
-        kq, qbd, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.int32)                           # [B,T,H]
-    scores = s32.astype(jnp.float32) * (
-        sq[:, None, None] * ks[:, :, None] * inv)
-    scores = jnp.where(mask[:, :, None], scores,
-                       jnp.asarray(NEG_INF, scores.dtype))
-    if extra is not None:
-        kq_row, ks_row, vq_row, vs_row = extra
-        r32 = jax.lax.dot_general(
-            kq_row[:, None, :], qbd, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.int32)                       # [B,1,H]
-        row = r32.astype(jnp.float32) * (
-            sq[:, None, None] * ks_row[:, None, None] * inv)
-        scores = jnp.concatenate([scores, row], axis=1)             # [B,T+1,H]
-    p = jax.nn.softmax(scores, axis=1)
-    if quantize:
-        p = L.quantize_probs(p)
-    if extra is not None:
-        pv, pv_row = p[:, :t] * vs[:, :, None], p[:, t] * vs_row[:, None]
-    else:
-        pv = p * vs[:, :, None]
-    tmp = jax.lax.dot_general(
-        pv, vq.astype(jnp.float32), (((1,), (1,)), ((0,), (0,))))   # [B,H,D]
-    if extra is not None:
-        tmp = tmp + pv_row[:, :, None] * vq_row.astype(jnp.float32)[:, None, :]
-    return jnp.sum(jnp.where(hsel.T[None], tmp, 0.0), axis=1)       # [B,D]
+    """Single-group all-int8-operand attention (cross-attention over a
+    fixed cache) — a thin wrapper over :func:`_attn_groups` so the score
+    dot / joint softmax / AV math lives in exactly one place."""
+    return _attn_groups(
+        qi, sq, [{"k": kq, "ks": ks, "v": vq, "vs": vs, "vis": mask}],
+        num_heads, quantize)
 
 
 # ------------------------------------------------- chunked decode (fast)

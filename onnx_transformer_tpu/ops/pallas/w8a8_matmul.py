@@ -392,6 +392,9 @@ def quant_w4a8_matmul(
     k = x.shape[-1]
     n = wq_packed.shape[-1]
     assert wq_packed.shape[0] * 2 == k and k <= 4096
+    assert n % min(block_n, n) == 0, (
+        f"n={n} not divisible by block_n={block_n}: trailing output "
+        "columns would silently never be written")
     x2 = x.reshape(-1, k).astype(jnp.float32)
     m = x2.shape[0]
     bm = min(block_m, max(8, 1 << (m - 1).bit_length()))

@@ -117,16 +117,13 @@ def make_w8a8_linear_impl(
     if mode == "pallas":
         from onnx_transformer_tpu.ops.pallas.w8a8_matmul import w8a8_matmul
     if mode == "fused":
-        from onnx_transformer_tpu.ops.pallas.w8a8_matmul import (
-            quant_w8a8_matmul,
-            quant_w8a8_matmul_qout,
-        )
+        from onnx_transformer_tpu.ops.pallas.w8a8_matmul import quant_w8a8_matmul_qout
 
     def lin(name: str, x, w, b, taps=None, inject=None):
         p = payloads.get(name)
         if p is None:
             return default_linear(name, x, w, b, taps, inject)
-        if (mode == "fused" and taps is None and inject is None
+        if (mode == "fused" and taps is None and inject is None and bits == 8
                 and int(np.prod(x.shape[:-1])) >= FUSED_MIN_TOKENS
                 and is_quantized_output(name)
                 and x.shape[-1] <= 2048 and p["wq"].shape[-1] <= 2048):
@@ -176,6 +173,7 @@ def make_w8a8_linear_impl(
     # Callers jitting over this impl should pass ``lin.payloads`` as a real
     # argument and rebuild the impl inside the trace via ``lin.rebind``.
     lin.payloads = payloads
+    lin.mode = mode   # engine fast-path gate: int8-chain numerics only
     lin.rebind = lambda p: make_w8a8_linear_impl(p, mode, bits)
     return lin
 

@@ -496,10 +496,15 @@ class TranslationEngine:
         # fast chunk path: int8 cache + W8A8 payloads on a single chip with
         # T a multiple of chunk (flushes must not straddle the ring seam)
         self._stacked = None
+        first = self._payloads.get("decoder.layers.0.self_attn.linears.0")
         if (kv_cache_dtype == "int8" and mesh is None and not fused_attn
                 and not self._tm and chunk_steps >= 1
                 and self.T % chunk_steps == 0
-                and "decoder.layers.0.self_attn.linears.0" in self._payloads):
+                and first is not None and "wq" in first
+                and getattr(lin, "mode", "int8") in ("int8", "fused")):
+            # int8-chain W8A8 payloads only: W4A8 impls carry 'wq_packed'
+            # (and different numerics) and mode='fake'/'pallas' impls must
+            # keep their own arithmetic -> those use the general chunk path
             from onnx_transformer_tpu.models import stacked_decode as SD
 
             self._stacked = SD.build_stacked(model, params, self._payloads)
@@ -615,7 +620,7 @@ class TranslationEngine:
             shard_kv(state["cache"])
             shard_kv(stage)
             for key in ("src_mask", "tag", "tok", "start", "live", "out",
-                        "tail", "g", "comp", "cur"):
+                        "tail", "g", "comp", "cur", "occ", "occ_steps"):
                 state[key] = put(state[key], P())
             for key in ("src_mask", "tag"):
                 stage[key] = put(stage[key], P())
@@ -759,13 +764,16 @@ class TranslationEngine:
         # wall: d2h transfers block dispatches on the tunneled runtime)
         est = self.B * self.chunk * 3.0 / max(self.T, 1)
         windows: list[int] = []   # chunks covered by each in-flight harvest
+        gen = 0                   # harvest generation (stale-sync guard)
+        meta: list[tuple] = []    # (kind, gen-at-dispatch) per in-flight fetch
 
-        def enqueue(arr):
+        def enqueue(arr, kind):
             nonlocal in_flight, since_sync
             try:
                 arr.copy_to_host_async()
             except AttributeError:
                 pass
+            meta.append((kind, gen))
             to_fetch.put(arr)
             in_flight += 1
             since_sync = 0
@@ -794,16 +802,17 @@ class TranslationEngine:
                 if want:
                     self._state, report = self._drain(self._state)
                     self._cur_known = 0
+                    gen += 1       # syncs dispatched earlier are now stale
                     windows.append(since_harvest)
                     since_harvest = 0
-                    enqueue(report)
+                    enqueue(report, "harvest")
                 elif (since_sync >= drain_every
                       and (self.R - (self._head - self._tail_known) < queued
                            or since_harvest * est >= 0.35 * self._C)):
                     # sync only when feedback is worth a fetch: the staging
                     # ring needs the tail to admit the remaining queue, or a
                     # harvest decision is approaching (confirm with real cur)
-                    enqueue(self._sync(self._state))
+                    enqueue(self._sync(self._state), "sync")
                 # process whatever the fetcher finished; block only when the
                 # pipeline is full
                 while in_flight > 0:
@@ -812,7 +821,14 @@ class TranslationEngine:
                         rep = fetched.get(block=block)
                     except pyqueue.Empty:
                         break
+                    kind, g0 = meta.pop(0)
                     finished = self._drain_report(rep)
+                    if kind == "sync" and g0 < gen:
+                        # this sync predates a harvest that reset the device
+                        # counter: its completion count would re-trigger an
+                        # immediate near-empty harvest (tail update is still
+                        # valid — the tail is monotonic)
+                        self._cur_known = 0
                     if rep.shape[0] > 1:   # harvest: refine the rate estimate
                         w = windows.pop(0) if windows else 1
                         est = max(1.0, 0.5 * est + 0.5 * len(finished) / w)
@@ -827,6 +843,7 @@ class TranslationEngine:
                     in_flight -= 1
                     self._admit()
             while in_flight > 0:
+                meta.pop(0)
                 done.extend(self._drain_report(fetched.get()))
                 in_flight -= 1
         finally:

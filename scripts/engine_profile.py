@@ -92,7 +92,7 @@ def main():
 
     # NOTE: state is donated by _chunk; time with fresh state copies.
     def chunk_fresh():
-        st = jax.tree.map(lambda x: x + 0 if hasattr(x, "dtype") else x, state)
+        st = jax.tree.map(lambda x: x.copy() if hasattr(x, "dtype") else x, state)
         jax.block_until_ready(st)
         t0 = time.perf_counter()
         st2 = eng._dispatch_chunk(st, head)

@@ -200,6 +200,11 @@ def main():
         state = PP.shard_pipeline_state(
             {"params": stacked, "opt_state": tx.init(stacked),
              "step": jnp.zeros((), jnp.int32)}, mesh)
+        if args.dtype == "bf16":
+            import warnings
+
+            warnings.warn("--dtype bf16 is not implemented for the pipeline "
+                          "schedule; training fp32")
         step_fn = PP.make_pipeline_train_step(
             model, tx, mesh, n_micro=args.pipeline_micro, donate=True, lin=lin)
         args.accum = 1  # microbatching subsumes accumulation

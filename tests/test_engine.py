@@ -314,3 +314,39 @@ def test_fast_chunk_path_matches_lockstep_int8():
             exp.append(int(t))
         exp = exp[: T - 1]  # engine kill rule caps output length
         assert done[i].out_tokens == exp, (i, done[i].out_tokens, exp)
+
+
+def test_int4_impl_uses_general_path():
+    """W4A8 payloads carry 'wq_packed' (and different numerics): the engine
+    must NOT engage the int8 fast chunk path, and must still serve
+    correctly via the general path (code-review r4 finding)."""
+    from onnx_transformer_tpu.quant.int4 import (
+        make_w4a8_linear_impl, quantize_model_params_int4)
+
+    cfg = TransformerConfig(
+        src_vocab_size=37, tgt_vocab_size=31, num_layers=2, d_model=32,
+        d_ff=64, num_heads=4, dropout=0.0,
+    )
+    m = Transformer(cfg)
+    params = m.init(jax.random.key(4))
+    lin4 = make_w4a8_linear_impl(quantize_model_params_int4(m, params),
+                                 fused=False)
+    rng = np.random.default_rng(5)
+    S, T = 8, 12
+    src = rng.integers(4, 37, (6, S)).astype(np.int32)
+    eng = TranslationEngine(m, params, lin=lin4, num_slots=4, src_len=S,
+                            max_len=T, chunk_steps=3, kv_cache_dtype="int8")
+    assert eng._stacked is None, "int4 impl must not use the int8 fast path"
+    for row in src:
+        eng.submit(row)
+    done = {r.req_id: r for r in eng.run()}
+    sm = L.make_src_mask(jnp.asarray(src), pad=cfg.pad_id)
+    ys = np.array(D.greedy_decode(m, params, jnp.asarray(src), sm, T,
+                                  lin=lin4, kv_cache_dtype="int8"))
+    for i in range(len(src)):
+        exp = []
+        for t in ys[i, 1:]:
+            if t in (cfg.eos_id, cfg.pad_id):
+                break
+            exp.append(int(t))
+        assert done[i].out_tokens == exp[: T - 1], (i, done[i].out_tokens)
