@@ -208,10 +208,17 @@ def beam_decode(
         beam_idx = top_idx // v                            # which source beam
         tok_idx = (top_idx % v).astype(jnp.int32)
         flat_src = (jnp.arange(b)[:, None] * k + beam_idx).reshape(-1)
-        # reorder beam state
+        # reorder beam state.  The cross-attention buffers are EXCLUDED:
+        # every beam of a sentence holds identical cross-K/V rows (they are
+        # projections of the shared encoder memory), so gathering them is
+        # an identity permutation on content — and they are half the
+        # per-step cache traffic of the reorder.
         ys = ys[flat_src]
         ys = ys.at[:, i + 1].set(tok_idx.reshape(-1))
-        cache = jax.tree.map(lambda a: a[flat_src], cache)
+        cache = {"layers": [
+            {key: (val if key.startswith("cross_") else val[flat_src])
+             for key, val in lc.items()}
+            for lc in cache["layers"]]}
         finished = finished[flat_src] | (tok_idx.reshape(-1) == cfg.eos_id)
         return (cache, ys, top_scores.reshape(-1), finished), None
 
