@@ -101,7 +101,11 @@ def _attr(name: str, value) -> bytes:
     elif isinstance(value, np.ndarray):
         out += enc_bytes(5, tensor_proto(name + "_value", value))
         out += enc_varint(20, 4)
-    elif isinstance(value, (list, tuple)) and value and isinstance(
+    elif isinstance(value, (list, tuple)) and not value:
+        # an empty list is type-ambiguous on the wire (INTS vs FLOATS);
+        # no emitted attribute is empty today, so fail loudly
+        raise TypeError(f"attr {name}: empty sequence has no ONNX type")
+    elif isinstance(value, (list, tuple)) and isinstance(
             value[0], (int, np.integer)):
         for v in value:
             out += enc_varint(8, int(v))

@@ -82,6 +82,10 @@ class FaultSpec:
     seed: int = 0
     inject_step: int = 0    # decode step at which the fault is live
                             # (target_inference_number, ...inject_onnx_transformer.py:639)
+    ref_name: str = ""      # reference ONNX node name ("MatMul_82") when the
+                            # spec was ingested from input/*.json — used by
+                            # the reference-format CSV so rows diff directly
+                            # against results_fault_injection/results.csv
 
     def scalars(self, ids: dict[str, int]) -> dict:
         return {
@@ -466,7 +470,8 @@ def specs_from_reference_jsons(
             for bit in bit_positions:
                 specs.append(FaultSpec(
                     target=target, fault_model=fm, bit=bit,
-                    seed=seed + i, inject_step=inject_step))
+                    seed=seed + i, inject_step=inject_step,
+                    ref_name=d["target_layer"]))
     return specs
 
 
@@ -532,6 +537,7 @@ def run_campaign(
     csv_path: Optional[str] = None,
     log_fn=None,
     fanout: int = 16,
+    csv_format: str = "full",
 ) -> CampaignResult:
     """Golden decode once, then faulty decodes in vmapped groups of
     ``fanout`` — the whole sweep reuses ONE compiled executable.
@@ -544,11 +550,15 @@ def run_campaign(
     perturbed decodes) — the same sensitivity as the reference's dual
     qonnx-vs-ORT executors.
 
-    CSV schema: ``layer,golden_bleu,faulty_bleu,bit,fault_model`` with a
-    header row.  This is a *superset* of the reference's results.csv, whose
-    rows are 3 columns (golden_bleu, faulty_bleu, bit) with no header and no
-    layer/fault-model columns (those are implied by the experiment shell
-    invocation, ``parallelized_inject_onnx_transformer.py:405-406``)."""
+    CSV schema (``csv_format="full"``, default):
+    ``layer,golden_bleu,faulty_bleu,bit,fault_model`` with a header row —
+    a *superset* of the reference's results.csv.  ``csv_format="reference"``
+    instead writes the reference's own 3-column headerless rows
+    ``node_name,golden_bleu,faulty_bleu`` (node name = the ONNX MatMul name
+    from the ingested descriptor when available, else our target name) so
+    ref-side tooling can diff campaigns directly against
+    ``results_fault_injection/results.csv``
+    (``parallelized_inject_onnx_transformer.py:405-406``)."""
     from onnx_transformer_tpu.evaluation.bleu import sentence_bleu
     from onnx_transformer_tpu.serving.decode import ids_to_tokens
 
@@ -570,10 +580,13 @@ def run_campaign(
     result = CampaignResult()
     writer = None
     if csv_path:
+        assert csv_format in ("full", "reference"), csv_format
         os.makedirs(os.path.dirname(os.path.abspath(csv_path)), exist_ok=True)
         f = open(csv_path, "w", newline="")
         writer = csv.writer(f)
-        writer.writerow(["layer", "golden_bleu", "faulty_bleu", "bit", "fault_model"])
+        if csv_format == "full":
+            writer.writerow(["layer", "golden_bleu", "faulty_bleu", "bit",
+                             "fault_model"])
 
     specs = list(specs)
     for start in range(0, len(specs), fanout):
@@ -606,9 +619,14 @@ def run_campaign(
                 }
                 result.rows.append(row)
                 if writer:
-                    writer.writerow([row["layer"], row["golden_bleu"],
-                                     row["faulty_bleu"], row["bit"],
-                                     row["fault_model"]])
+                    if csv_format == "reference":
+                        writer.writerow([spec.ref_name or spec.target,
+                                         row["golden_bleu"],
+                                         row["faulty_bleu"]])
+                    else:
+                        writer.writerow([row["layer"], row["golden_bleu"],
+                                         row["faulty_bleu"], row["bit"],
+                                         row["fault_model"]])
         if log_fn:
             import time as _time
 

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from onnx_transformer_tpu.models.transformer import Transformer, default_linear
 from onnx_transformer_tpu.ops import layers as L
 from onnx_transformer_tpu.quant import core as Q
+from onnx_transformer_tpu.quant import w8a8 as W8
 from onnx_transformer_tpu.quant.w8a8 import (
     _param_leaf,
     is_quantized_output,
@@ -95,7 +96,7 @@ def make_w4a8_linear_impl(payloads: dict, a_bits: int = 8,
         if p is None:
             return default_linear(name, x, w, b, taps, inject)
         if (fused and taps is None and inject is None and a_bits == 8
-                and int(np.prod(x.shape[:-1])) >= 8192
+                and int(np.prod(x.shape[:-1])) >= W8.FUSED_MIN_TOKENS
                 and x.shape[-1] <= 4096
                 and p["wq_packed"].shape[-1] % min(512, p["wq_packed"].shape[-1]) == 0):
             y = quant_w4a8_matmul(x, p["wq_packed"], p["sw"], p["b"])

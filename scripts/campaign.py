@@ -45,6 +45,11 @@ def main():
     ap.add_argument("--inject-step", type=int, default=5)
     ap.add_argument("--max-len", type=int, default=64)
     ap.add_argument("--out", default="results_fault_injection/results.csv")
+    ap.add_argument("--csv-format", default="full",
+                    choices=("full", "reference"),
+                    help="'reference' = the ref's 3-column headerless "
+                         "node,golden,faulty rows (diffable against "
+                         "results_fault_injection/results.csv)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--fanout", type=int, default=16,
                     help="experiments per vmapped dispatch (on-device "
@@ -120,6 +125,7 @@ def main():
     res = C.run_campaign(
         model, params, payloads, specs, src, sm, refs, vt,
         max_len=args.max_len, csv_path=args.out, fanout=args.fanout,
+        csv_format=args.csv_format,
         log_fn=lambda s: print(s, flush=True),
     )
     dt = time.time() - t0

@@ -25,3 +25,33 @@ assert jax.devices()[0].platform == "cpu", (
 )
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+# -------------------------------------------------------------- tiering
+# Two tiers (VERDICT r4 #9): the default ``pytest -q`` run excludes tests
+# marked ``slow`` (subprocess multihost fixtures, engine chaos/property
+# tests, full-descriptor campaigns) for a quick contributor signal;
+# ``pytest --runslow`` runs everything.  Timings for both are recorded in
+# README quickstart.
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="also run tests marked slow (subprocess/chaos/e2e tier)")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running test (subprocess fixtures, chaos "
+        "properties, full campaigns) — excluded unless --runslow")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    skip = pytest.mark.skip(reason="slow tier: re-run with --runslow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

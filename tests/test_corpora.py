@@ -61,6 +61,7 @@ def test_multi30k_file_layout(tmp_path):
         CO.load_multi30k_pairs(str(tmp_path), "val")
 
 
+@pytest.mark.slow
 def test_real_hf_wmt14_if_cached():
     """Exercise the real datasets.load_dataset path when the HF cache has
     wmt14 (offline pods usually won't)."""

@@ -29,6 +29,7 @@ def _src(b=4, s=9, sv=31, seed=1):
     return jnp.asarray(src), L.make_src_mask(jnp.asarray(src))
 
 
+@pytest.mark.slow
 def test_cached_greedy_matches_nocache_reference(small):
     m, params = small
     src, sm = _src()

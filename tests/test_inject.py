@@ -159,6 +159,7 @@ def test_decoder_fault_only_at_inject_step(qmodel):
     np.testing.assert_array_equal(faulty, golden)
 
 
+@pytest.mark.slow
 def test_campaign_csv_schema(qmodel, tmp_path):
     m, params, payloads, src, sm = qmodel
 
@@ -224,6 +225,7 @@ def test_attention_matmul_targets_perturb(qmodel):
         np.testing.assert_array_equal(np.array(t1[tensor]), np.array(t2[tensor]))
 
 
+@pytest.mark.slow
 def test_vmapped_batch_matches_serial(qmodel):
     """faulty_greedy_decode_batch (the on-device Pool replacement) must give
     exactly the per-spec serial results."""
@@ -272,3 +274,55 @@ def test_specs_from_reference_jsons_ingest():
     ids = C.target_ids(Transformer(cfg6))
     for s in specs:
         assert s.target in ids  # every ingested target resolves
+        assert s.ref_name.startswith("MatMul_")
+
+
+@pytest.mark.slow
+def test_reference_descriptors_end_to_end(tmp_path):
+    """ALL 60 real input/*.json descriptors (24 encoder + 36 decoder,
+    /root/reference/input/encoder/matmul_3.json:1-9) through a real
+    mini-campaign: every target must resolve into the compiled fault tree
+    and produce a result row; the reference-format CSV must be 3-column
+    headerless rows diffable against results_fault_injection/results.csv
+    (parallelized_inject_onnx_transformer.py:405-406)."""
+    import os
+
+    dirs = ["/root/reference/input/encoder", "/root/reference/input/decoder"]
+    if not all(os.path.isdir(d) for d in dirs):
+        pytest.skip("reference input configs not mounted")
+    specs = C.specs_from_reference_jsons(dirs, fault_models=("INPUT",),
+                                         bit_positions=(3,), inject_step=1)
+    assert len(specs) == 60   # the full descriptor set, one (fm, bit) each
+
+    cfg = TransformerConfig(src_vocab_size=37, tgt_vocab_size=31,
+                            num_layers=6, d_model=32, d_ff=64, num_heads=4,
+                            dropout=0.0)
+    m = Transformer(cfg)
+    params = m.init(jax.random.key(7))
+    payloads = W.quantize_model_params(m, params)
+    ids = C.target_ids(m)
+    for s in specs:
+        assert s.target in ids, s.target
+
+    rng = np.random.default_rng(11)
+    src = rng.integers(4, 37, (2, 8)).astype(np.int32)
+    sm = np.asarray(L.make_src_mask(jnp.asarray(src)))
+
+    class V:
+        itos = ["<s>", "</s>", "<blank>", "<unk>"] + [f"t{i}" for i in range(27)]
+
+    refs = [["t1", "t2"], ["t3", "t4"]]
+    csv_path = str(tmp_path / "ref_results.csv")
+    res = C.run_campaign(m, params, payloads, specs, src, sm, refs, V(),
+                         max_len=8, csv_path=csv_path, fanout=16,
+                         csv_format="reference")
+    assert len(res.rows) == 60 * 2   # every descriptor produced rows
+    import csv as csvmod
+
+    with open(csv_path) as f:
+        rows = list(csvmod.reader(f))
+    assert len(rows) == 60 * 2       # headerless
+    for row in rows:
+        assert len(row) == 3         # node,golden,faulty — the ref schema
+        assert row[0].startswith("MatMul_")
+        float(row[1]); float(row[2])

@@ -64,6 +64,7 @@ def test_pipelined_forward_matches_plain(setup):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_pipeline_grad_parity(setup):
     model, params, b = setup
     mesh = PP.make_pipeline_mesh(data=2, pipe=2, model=2)
@@ -88,6 +89,7 @@ def test_pipeline_grad_parity(setup):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pipeline_train_step_runs(setup):
     model, params, b = setup
     mesh = PP.make_pipeline_mesh(data=2, pipe=2, model=2)

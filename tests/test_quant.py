@@ -289,6 +289,7 @@ def test_w4a8_matches_fake_quant_reference(small):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_qat_linear_impl_differentiable(small):
     from onnx_transformer_tpu.quant.int4 import make_qat_linear_impl
     m, params = small
@@ -359,16 +360,21 @@ def test_w4a8_fused_impl_end_to_end_tokens():
     pl4 = quantize_model_params_int4(m, params)
     lin_x = make_w4a8_linear_impl(pl4, fused=False)
     lin_f = make_w4a8_linear_impl(pl4, fused=True)
-    import onnx_transformer_tpu.quant.int4 as I4
     rng = _np.random.default_rng(0)
     src = jnp.asarray(rng.integers(4, 37, (6, 9)).astype(_np.int32))
     sm = L.make_src_mask(src)
     ys_x = _np.array(D.greedy_decode(m, params, src, sm, 10, lin=lin_x,
                                      kv_cache_dtype="int8"))
-    # force the kernel path at test shapes
-    import onnx_transformer_tpu.ops.pallas.w8a8_matmul as K
-    orig = I4.make_w4a8_linear_impl
-    ys_f = _np.array(D.greedy_decode(m, params, src, sm, 10, lin=lin_f,
-                                     kv_cache_dtype="int8"))
+    # force the kernel path at test shapes (the gate reads the module global
+    # at call time, so patching it here routes the 54-token prefill through
+    # quant_w4a8_matmul)
+    import onnx_transformer_tpu.quant.w8a8 as W8
+    orig_min = W8.FUSED_MIN_TOKENS
+    W8.FUSED_MIN_TOKENS = 1
+    try:
+        ys_f = _np.array(D.greedy_decode(m, params, src, sm, 10, lin=lin_f,
+                                         kv_cache_dtype="int8"))
+    finally:
+        W8.FUSED_MIN_TOKENS = orig_min
     agree = _np.mean(ys_x == ys_f)
     assert agree >= 0.95, agree

@@ -204,6 +204,7 @@ def test_encode_decode_split_matches_reference(reference_pair):
     np.testing.assert_allclose(mem_j, mem_t, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_trained_checkpoint_full_scale_parity():
     """The real thing: the trained IWSLT14 checkpoint (N=6, d512, real vocab)
     converted into the reference's make_model, logit parity on real test

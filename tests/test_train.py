@@ -108,6 +108,7 @@ def test_checkpoint_roundtrip(tmp_path):
     assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-6)
 
 
+@pytest.mark.slow
 def test_data_parallel_mesh_step_matches_single_device():
     from onnx_transformer_tpu.parallel.mesh import make_mesh
 
@@ -129,6 +130,7 @@ def test_data_parallel_mesh_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1.1e-3)
 
 
+@pytest.mark.slow
 def test_tensor_parallel_mesh_step_runs():
     from onnx_transformer_tpu.parallel.mesh import make_mesh
 
@@ -144,6 +146,7 @@ def test_tensor_parallel_mesh_step_runs():
     assert float(m_tp["loss"]) == pytest.approx(float(m_sd["loss"]), rel=1e-3)
 
 
+@pytest.mark.slow
 def test_bf16_mixed_precision_matches_fp32_trajectory():
     """bf16 compute with f32 master weights (compute_dtype=bfloat16) must
     track the f32 loss trajectory closely over a short run (VERDICT r3 #4)."""
