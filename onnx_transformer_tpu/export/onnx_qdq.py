@@ -13,10 +13,19 @@ initializers + ``DequantizeLinear`` feeding fp ``MatMul`` — any ONNX
 runtime executes it with no custom ops.  The attention-prob 1/127
 fake-quant is emitted literally (Mul 127 / Round / Div 127 —
 ``attention.py:33-35``).  Our per-token *activation* quantization is a
-runtime-side optimization with data-dependent scales and is intentionally
-NOT baked into the portable graph (the reference's Brevitas QCDQ bakes
-calibration-time static activation scales instead; weight-QDQ is the
-compatible intersection).
+runtime-side optimization with data-dependent scales that cannot be baked
+into a static graph; passing ``act_scales`` (the calibrated 96-tensor
+per-channel absmax dict — ``quant/calibrate.py`` or the converted
+reference artifact) additionally emits a STATIC activation QCDQ pair
+(``QuantizeLinear``/``DequantizeLinear``, per-tensor scale
+``max(absmax)/127``) in front of every quantized MatMul — the analogue of
+the reference's Brevitas QCDQ export, which bakes calibration-time
+activation scales (``encoder_decoder.py:41-52``).
+
+Graph I/O shapes use symbolic ``dim_param`` axes ("batch"/"src"/"tgt"),
+and every internal Reshape uses 0-copy dims, so ONE emitted decoder graph
+executes at any target length — the dynamic-axes capability of the
+reference's decoder export (round-trip tested at two lengths).
 
 No onnx package exists in this image, so the protobuf is written directly
 (``export/onnx_proto.py``); the round-trip test re-parses the emitted
@@ -35,9 +44,10 @@ from onnx_transformer_tpu.models.transformer import Transformer
 
 
 class _GraphBuilder:
-    def __init__(self):
+    def __init__(self, act_scales: dict | None = None):
         self.nodes: list[bytes] = []
         self.inits: list[bytes] = []
+        self.act_scales = act_scales or {}
         self._n = 0
 
     def fresh(self, hint: str) -> str:
@@ -66,8 +76,17 @@ def _const(g: _GraphBuilder, value, dtype=np.float32, hint="c") -> str:
 
 def _qdq_linear(g: _GraphBuilder, x: str, name: str, payloads: dict) -> str:
     """int8 weight initializer + DequantizeLinear (per-out-channel) +
-    MatMul + bias Add — the QDQ pattern any ORT quantizer recognises."""
+    MatMul + bias Add — the QDQ pattern any ORT quantizer recognises.
+    When the builder carries calibrated ``act_scales``, a static
+    per-tensor activation QCDQ pair is emitted in front of the MatMul."""
     p = payloads[name]
+    if name in g.act_scales:
+        sa = float(np.max(np.asarray(g.act_scales[name], np.float32)) / 127.0)
+        sa = max(sa, 1e-5)                 # quant_linear.py:30 scale floor
+        s_init = _const(g, sa, np.float32, f"{name}.act_scale".replace(".", "_"))
+        zp = _const(g, 0, np.int8, "act_zp")
+        xq = g.n("QuantizeLinear", [x, s_init, zp], "x_q")
+        x = g.n("DequantizeLinear", [xq, s_init, zp], "x_dq")
     wq = g.init_tensor(f"{name}.weight_q", np.asarray(p["wq"], np.int8))
     sw = g.init_tensor(f"{name}.weight_scale", np.asarray(p["sw"], np.float32))
     zp = g.init_tensor(f"{name}.weight_zp",
@@ -137,9 +156,10 @@ def _sublayer(g, x, ln_p, nm, fn):
     return g.n("Add", [x, y], "res")
 
 
-def build_encoder_graph(model: Transformer, params, payloads: dict) -> bytes:
+def build_encoder_graph(model: Transformer, params, payloads: dict,
+                        act_scales: dict | None = None) -> bytes:
     cfg = model.cfg
-    g = _GraphBuilder()
+    g = _GraphBuilder(act_scales)
     x = "global_in"                       # embedded source [B, S, D]
     for i, lp in enumerate(params["encoder"]["layers"]):
         nm = f"encoder.layers.{i}"
@@ -163,9 +183,10 @@ def build_encoder_graph(model: Transformer, params, payloads: dict) -> bytes:
     return P.model_proto(graph)
 
 
-def build_decoder_graph(model: Transformer, params, payloads: dict) -> bytes:
+def build_decoder_graph(model: Transformer, params, payloads: dict,
+                        act_scales: dict | None = None) -> bytes:
     cfg = model.cfg
-    g = _GraphBuilder()
+    g = _GraphBuilder(act_scales)
     x = "ys_embed"                        # embedded target prefix [B, T, D]
     for i, lp in enumerate(params["decoder"]["layers"]):
         nm = f"decoder.layers.{i}"
@@ -197,14 +218,15 @@ def build_decoder_graph(model: Transformer, params, payloads: dict) -> bytes:
 
 
 def export_qdq_onnx(model: Transformer, params, payloads: dict,
-                    out_dir: str) -> dict:
-    """Write encoder.onnx + decoder.onnx; returns {name: path}."""
+                    out_dir: str, act_scales: dict | None = None) -> dict:
+    """Write encoder.onnx + decoder.onnx; returns {name: path}.
+    ``act_scales``: opt-in static activation QCDQ (see module docstring)."""
     os.makedirs(out_dir, exist_ok=True)
     out = {}
     for name, builder in (("encoder", build_encoder_graph),
                           ("decoder", build_decoder_graph)):
         path = os.path.join(out_dir, f"{name}.onnx")
         with open(path, "wb") as f:
-            f.write(builder(model, params, payloads))
+            f.write(builder(model, params, payloads, act_scales))
         out[name] = path
     return out

@@ -45,6 +45,10 @@ def main():
                     help="also emit QDQ encoder.onnx/decoder.onnx (weight-"
                          "QDQ graphs any ONNX runtime loads; the reference's "
                          "serve format, encoder_decoder.py:31-52)")
+    ap.add_argument("--onnx-qcdq", action="store_true",
+                    help="with --onnx: bake static activation QCDQ pairs "
+                         "from the calibrated scales (Brevitas-QCDQ "
+                         "analogue, encoder_decoder.py:41-52)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -59,12 +63,13 @@ def main():
 
     lin = default_linear
     kv = args.kv_cache or args.mode
+    from onnx_transformer_tpu.quant.smoothquant import load_reference_scales
+
+    scales = (load_reference_scales(args.scales)
+              if args.scales and os.path.exists(args.scales) else None)
     if args.mode == "int8":
         from onnx_transformer_tpu.quant import w8a8 as W
-        from onnx_transformer_tpu.quant.smoothquant import load_reference_scales
 
-        scales = (load_reference_scales(args.scales)
-                  if args.scales and os.path.exists(args.scales) else None)
         params, lin = W.quantize_transformer(model, params, scales, mode="int8")
 
     out = args.out or f"exports/iwslt14_{args.mode}"
@@ -77,7 +82,11 @@ def main():
         from onnx_transformer_tpu.quant import w8a8 as W
 
         payloads = W.quantize_model_params(model, params)
-        paths = export_qdq_onnx(model, params, payloads, out)
+        # --onnx-qcdq additionally bakes static activation QCDQ pairs from
+        # the calibrated scales (the reference's Brevitas-QCDQ analogue)
+        paths = export_qdq_onnx(
+            model, params, payloads, out,
+            act_scales=scales if args.onnx_qcdq else None)
         for k, pth in paths.items():
             print(f"  {k}.onnx: {os.path.getsize(pth)/1e6:.1f} MB")
     total = sum(os.path.getsize(os.path.join(out, f)) for f in os.listdir(out))

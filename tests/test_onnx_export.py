@@ -73,6 +73,16 @@ def run_graph(g: P.PGraph, feeds: dict) -> dict:
                 shape[axis] = scale.shape[0]
             o = (i[0].astype(np.float32) - i[2].astype(np.float32).reshape(
                 shape)) * scale.reshape(shape)
+        elif op == "QuantizeLinear":
+            axis = node.attrs.get("axis", 1)
+            scale = i[1]
+            shape = [1] * i[0].ndim
+            if scale.ndim:
+                shape[axis] = scale.shape[0]
+            o = np.clip(
+                np.round(i[0] / scale.reshape(shape))
+                + i[2].astype(np.float32).reshape(shape),
+                -128, 127).astype(np.int8)
         else:
             raise NotImplementedError(op)
         env[node.outputs[0]] = np.asarray(o, np.float32) \
@@ -192,6 +202,72 @@ def test_decoder_graph_matches_jax(exported):
             rngs, False)
     ln_f = params["decoder"]["ln"]
     ref = L.layer_norm(x, ln_f["scale"], ln_f["bias"])
+    np.testing.assert_allclose(out, np.array(ref), atol=2e-4, rtol=1e-4)
+
+
+def test_decoder_graph_dynamic_axes(exported):
+    """ONE emitted decoder graph executes at two different target lengths
+    AND batch sizes — the reference's dynamic-axes decoder export
+    capability (encoder_decoder.py:41-52, dim_param on the tgt dims)."""
+    m, params, payloads, paths = exported
+    with open(paths["decoder"], "rb") as f:
+        raw = f.read()
+    # the wire bytes must carry symbolic dim_params, not baked sizes
+    assert b"tgt" in raw and b"batch" in raw
+    g = P.parse_model(raw)
+    rng = np.random.default_rng(3)
+    d = m.cfg.d_model
+    outs = []
+    for b, s, t in ((2, 6, 5), (3, 4, 9)):
+        ys = rng.normal(size=(b, t, d)).astype(np.float32)
+        memory = rng.normal(size=(b, s, d)).astype(np.float32)
+        smask = np.ones((b, 1, 1, s), bool)
+        tmask = np.tril(np.ones((t, t), bool))[None, None].repeat(b, 0)
+        out = run_graph(g, {"ys_embed": ys, "memory": memory,
+                            "src_mask": smask,
+                            "tgt_mask": tmask})["global_out"]
+        assert out.shape == (b, t, d)
+        outs.append(out)
+    # same graph, different shapes, both finite
+    assert all(np.isfinite(o).all() for o in outs)
+
+
+def test_qcdq_activation_mode_matches_jax(exported, tmp_path):
+    """Opt-in static-activation QCDQ: QuantizeLinear/DequantizeLinear
+    pairs with calibrated per-tensor scales in front of every quantized
+    MatMul (the reference's Brevitas QCDQ analogue) must match the JAX
+    arithmetic of the same static fake-quant chain."""
+    m, params, payloads, _ = exported
+    rng = np.random.default_rng(7)
+    act_scales = {name: np.abs(rng.normal(
+        1.0, 0.2, np.asarray(p["wq"]).shape[0])).astype(np.float32)
+        for name, p in payloads.items()}
+    paths = export_qdq_onnx(m, params, payloads, str(tmp_path / "qcdq"),
+                            act_scales=act_scales)
+    with open(paths["encoder"], "rb") as f:
+        raw = f.read()
+    g = P.parse_model(raw)
+    n_q = sum(1 for n in g.nodes if n.op_type == "QuantizeLinear")
+    n_lin = sum(1 for name in payloads if name.startswith("encoder."))
+    assert n_q == n_lin     # one activation QCDQ pair per quantized linear
+
+    b, s, d = 2, 5, m.cfg.d_model
+    x = rng.normal(size=(b, s, d)).astype(np.float32)
+    mask = np.ones((b, 1, 1, s), bool)
+    out = run_graph(g, {"global_in": x, "global_in_1": mask})["global_out"]
+
+    from onnx_transformer_tpu.models.transformer import default_linear
+
+    def lin(name, xx, w, bb, taps=None, inject=None):
+        p = payloads.get(name)
+        if p is None:
+            return default_linear(name, xx, w, bb, taps, inject)
+        sa = max(float(np.max(act_scales[name]) / 127.0), 1e-5)
+        xq = jnp.clip(jnp.round(xx / sa), -128, 127) * sa
+        return L.linear(xq, Q.dequantize(p["wq"], p["sw"][None, :]), p["b"])
+
+    ref = _encode_from_embedded(m, params, jnp.asarray(x),
+                                jnp.asarray(mask[:, 0]), lin)
     np.testing.assert_allclose(out, np.array(ref), atol=2e-4, rtol=1e-4)
 
 
