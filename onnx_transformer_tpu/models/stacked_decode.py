@@ -31,10 +31,13 @@ per-token absmax int8 activations (scale floor 1e-5, qmax 127 —
 ``quant_linear.py:30-54``), per-channel int8 weights, attention-prob
 1/127 fake-quant (``attention.py:33-35``).  The q/k/v projections'
 ``quantize_bmm_input`` fake-quant + cache re-quantization roundtrip is
-algebraically collapsed: ``round(round(y/s)*s/s) == round(y/s)`` and the
-re-derived scale equals ``s`` because the absmax element maps to +-127 by
-construction, so quantizing the projection output once is bit-identical
-to fake-quant-then-requantize (parity-tested against the general path).
+collapsed: quantizing the projection output once replaces
+fake-quant-then-requantize.  The collapse relies on the re-derived scale
+``fl(fl(127*s)/127)`` equalling ``s`` in f32 — true for the absmax
+element mapping to +-127 in every case we measured, but not a rounding
+guarantee for all scales; the equivalence is PARITY-TESTED (token-
+identical on the test stream, tests/test_stacked_decode.py) rather than
+algebraically proven.
 
 Taps / fault injection are NOT routed through this path — the campaign
 and calibration use the general named-seam path; this one exists to be
@@ -93,6 +96,17 @@ def build_stacked(model: Transformer, params: dict, payloads: dict) -> dict:
         for role, suffix in roles.items():
             p = payloads[f"decoder.layers.{i}.{suffix}"]
             entry[role] = {"wq": p["wq"], "sw": p["sw"], "b": p["b"]}
+        # fused q/k/v projection: ONE [D, 3D] int8 matmul per step instead
+        # of three [D, D] ones (the decode step is op-count-bound at B=512
+        # — r5 sweep; segments/read-shrinking measured negative).  The int8
+        # dot accumulates in int32, which is EXACT integer arithmetic, so
+        # the fused dot is BIT-IDENTICAL to the three separate dots; the
+        # per-projection output fake-quant runs on slices afterwards.
+        entry["self_qkv"] = {
+            key: jnp.concatenate([entry["self_q"][key], entry["self_k"][key],
+                                  entry["self_v"][key]], axis=-1)
+            for key in ("wq", "sw", "b")
+        }
         per_layer.append(entry)
     cross = []
     for i in range(n):
@@ -139,14 +153,18 @@ def _w8a8(x: jax.Array, p: dict) -> jax.Array:
     return y32.astype(jnp.float32) * (sx * p["sw"][None, :]) + p["b"][None, :]
 
 
+def _quantize_rows(y: jax.Array):
+    """Per-token quantize -> (int8 [B, D], scale [B])."""
+    s = Q.act_scale_per_token(y)                        # [B, 1]
+    return Q.quantize(y, s), s[:, 0]
+
+
 def _w8a8_q(x: jax.Array, p: dict):
     """W8A8 linear returning the OUTPUT already quantized per token:
     (int8 [B, Dout], scale [B]).  Collapses the reference's
     quantize_bmm_input fake-quant + downstream re-quantization into one
     rounding — bit-identical (absmax element -> +-127 exactly)."""
-    y = _w8a8(x, p)
-    s = Q.act_scale_per_token(y)                        # [B, 1]
-    return Q.quantize(y, s), s[:, 0]
+    return _quantize_rows(_w8a8(x, p))
 
 
 def _hsel(d: int, h: int) -> np.ndarray:
@@ -262,9 +280,16 @@ def layer_stack_step_inflight(
         lc = cache_layers[l]
         fl = inflight[l] if inflight is not None else None
         xn = _ln(x, lp["ln0"])
-        qi, sq = _w8a8_q(xn, lp["self_q"])
-        kq, ksc = _w8a8_q(xn, lp["self_k"])
-        vq, vsc = _w8a8_q(xn, lp["self_v"])
+        if "self_qkv" in lp:
+            d = xn.shape[-1]
+            y3 = _w8a8(xn, lp["self_qkv"])          # [B, 3D], bit == 3 dots
+            qi, sq = _quantize_rows(y3[:, :d])
+            kq, ksc = _quantize_rows(y3[:, d:2 * d])
+            vq, vsc = _quantize_rows(y3[:, 2 * d:])
+        else:
+            qi, sq = _w8a8_q(xn, lp["self_q"])
+            kq, ksc = _w8a8_q(xn, lp["self_k"])
+            vq, vsc = _w8a8_q(xn, lp["self_v"])
         if fl is None:
             fl = {"k": kq[:, None], "v": vq[:, None],
                   "ks": ksc[:, None], "vs": vsc[:, None]}
@@ -342,50 +367,100 @@ def greedy_decode_chunked(
     start_symbol: int = 0,
     lin=None,
     stop_at_eos: bool = True,
+    segments: int = 1,
 ) -> jax.Array:
     """Lockstep greedy decode with chunk-staged cache writes -> [B, max_len].
     Token-identical to the general int8 path (joint softmax over the same
-    logit set).  ``max_len`` must be divisible by ``chunk``."""
+    logit set).  ``max_len`` must be divisible by ``chunk``.
+
+    ``segments > 1`` GROWS the self-KV ring across segment boundaries
+    instead of allocating the full [B, max_len, D] ring up front, so each
+    segment's scan body reads only the prefix that can be valid (outputs
+    parity-tested identical — masked tail columns contribute exact
+    softmax zeros).  MEASURED NEGATIVE on v5e at B=512 (r5 sweep:
+    1.248 ms/step at segments=3 vs 1.031 at 1): the decode step is
+    op-count-bound, not KV-read-bound, below T=72 (same conclusion as the
+    r3 bucketed-fleet finding), and the per-segment pads + extra scan
+    instances cost more than the smaller reads save.  Kept as a tested
+    option for much longer rings, where the read term dominates."""
     from onnx_transformer_tpu.models.transformer import default_linear
 
     cfg = model.cfg
     b = src.shape[0]
     assert max_len % chunk == 0, "max_len must be divisible by chunk"
+    n_chunks = max_len // chunk
+    segments = max(1, min(segments, n_chunks))
     memory = model.encode(params, src, src_mask, lin=lin or default_linear)
-    cache = model.init_cache(params, memory, max_len, lin=lin or default_linear,
-                             cache_dtype="int8")
-    layers = cache["layers"]
+    # only the cross-KV projections are needed up front: the self-KV ring
+    # grows from empty via the segment pads below (init_cache's full-length
+    # zero rings would just be dead allocations here)
+    cross_layers = model.cross_kv(params, memory, lin=lin or default_linear,
+                                  cache_dtype="int8")
+    self_keys = ("k", "v", "k_scale", "v_scale")
     ys = jnp.full((b, max_len), cfg.pad_id, jnp.int32).at[:, 0].set(start_symbol)
     finished = jnp.zeros((b,), bool)
     smask = src_mask[:, 0, :] if src_mask.ndim == 3 else src_mask
-    pos_t = jnp.arange(max_len)
     h, quant = cfg.num_heads, cfg.quantize_attn_probs
 
-    def outer(carry, base):
-        layers, ys, finished, last = carry
-        vis_cache = jnp.broadcast_to((pos_t < base)[None, :], (b, max_len))
-        inflight = None
-        outs = []
-        for j in range(chunk):          # static unroll: staged rows are SSA
-            x = embed_token(stacked, cfg, last[:, None], base + j)
-            x, inflight = layer_stack_step_inflight(
-                stacked, layers, inflight, x, vis_cache, None, smask,
-                h, quant)
-            nxt = jnp.argmax(final_logits(stacked, x), -1).astype(jnp.int32)
-            if stop_at_eos:
-                nxt = jnp.where(finished, cfg.pad_id, nxt)
-                finished = finished | (nxt == cfg.eos_id)
-            outs.append(nxt)
-            last = nxt
-        # one [B, C] token write per chunk (ys is C wider than max_len so
-        # the final chunk's overhang lands in the scratch margin)
-        ys = jax.lax.dynamic_update_slice(
-            ys, jnp.stack(outs, axis=1), (0, base + 1))
-        layers = flush_inflight(layers, inflight, base)
-        return (layers, ys, finished, last), None
+    # chunk-count boundaries per segment (ascending, last = n_chunks)
+    per = n_chunks // segments
+    extra = n_chunks % segments
+    bounds, acc = [], 0
+    for s in range(segments):
+        acc += per + (1 if s < extra else 0)
+        bounds.append(acc * chunk)
+
+    def make_outer(seg_end):
+        pos_t = jnp.arange(seg_end)
+
+        def outer(carry, base):
+            self_layers, ys, finished, last = carry
+            layers = [dict(sl, **cl)
+                      for sl, cl in zip(self_layers, cross_layers)]
+            vis_cache = jnp.broadcast_to((pos_t < base)[None, :], (b, seg_end))
+            inflight = None
+            outs = []
+            for j in range(chunk):      # static unroll: staged rows are SSA
+                x = embed_token(stacked, cfg, last[:, None], base + j)
+                x, inflight = layer_stack_step_inflight(
+                    stacked, layers, inflight, x, vis_cache, None, smask,
+                    h, quant)
+                nxt = jnp.argmax(final_logits(stacked, x), -1).astype(jnp.int32)
+                if stop_at_eos:
+                    nxt = jnp.where(finished, cfg.pad_id, nxt)
+                    finished = finished | (nxt == cfg.eos_id)
+                outs.append(nxt)
+                last = nxt
+            # one [B, C] token write per chunk (ys is C wider than max_len so
+            # the final chunk's overhang lands in the scratch margin)
+            ys = jax.lax.dynamic_update_slice(
+                ys, jnp.stack(outs, axis=1), (0, base + 1))
+            layers = flush_inflight(layers, inflight, base)
+            self_layers = [{key: lc[key] for key in self_keys}
+                           for lc in layers]
+            return (self_layers, ys, finished, last), None
+
+        return outer
 
     ys = jnp.pad(ys, ((0, 0), (0, chunk)), constant_values=cfg.pad_id)
-    bases = jnp.arange(0, max_len, chunk)
-    (layers, ys, finished, _), _ = jax.lax.scan(
-        outer, (layers, ys, finished, ys[:, 0]), bases)
+    last = ys[:, 0]
+    prev_end = 0
+    self_layers = [
+        {"k": jnp.zeros((b, 0, cfg.d_model), jnp.int8),
+         "v": jnp.zeros((b, 0, cfg.d_model), jnp.int8),
+         "k_scale": jnp.zeros((b, 0, 1), jnp.float32),
+         "v_scale": jnp.zeros((b, 0, 1), jnp.float32)}
+        for _ in range(cfg.num_layers)
+    ]
+    for seg_end in bounds:
+        pad = seg_end - prev_end
+        self_layers = [
+            {key: jnp.pad(lc[key], ((0, 0), (0, pad), (0, 0)))
+             for key in self_keys}
+            for lc in self_layers
+        ]
+        bases = jnp.arange(prev_end, seg_end, chunk)
+        (self_layers, ys, finished, last), _ = jax.lax.scan(
+            make_outer(seg_end), (self_layers, ys, finished, last), bases)
+        prev_end = seg_end
     return ys[:, :max_len]

@@ -86,10 +86,26 @@ class TranslationEngine:
         kv_time_major: bool = False,
         refill_every: int = 6,
         comp_capacity: int = 0,
+        beam_size: int = 1,
+        length_penalty: float = 0.6,
     ):
         self.model = model
+        # completion rows pack 2 output tokens per int32 (pack_ring)
+        assert model.cfg.tgt_vocab_size < (1 << 16), (
+            "engine packs 2 tokens/int32; tgt_vocab_size must be < 65536")
         self.lin = lin
         self.B = num_slots
+        # slot-group beam search (VERDICT r4 #5): K consecutive slots serve
+        # ONE request's K beams.  Cross-K/V is admitted once per group (all
+        # beams share the request's encoder memory — the r4 lockstep-beam
+        # finding); the self-KV ring rows are gathered per step by beam
+        # ancestry.  beam_size=1 is the greedy engine, unchanged.
+        self.beam = max(1, beam_size)
+        self.length_penalty = length_penalty
+        assert num_slots % self.beam == 0, "num_slots must be divisible by beam_size"
+        if self.beam > 1:
+            assert mesh is None and not fused_attn and not kv_time_major, (
+                "engine beam mode: single-chip, XLA attention, batch-major")
         self.prefill_chunk = max(1, min(prefill_chunk, num_slots))
         self.S = src_len
         self.T = max_len
@@ -145,6 +161,9 @@ class TranslationEngine:
         # drain): live-slot-steps and total slot-steps
         self.occ_live_steps = 0
         self.occ_slot_steps = 0
+        # refill-loss attribution (host-accumulated from harvest headers)
+        self.starved_slots = 0
+        self.gated_slots = 0
 
         m = model
         # Closure-captured device arrays (jit consts) put the tunneled TPU
@@ -249,6 +268,13 @@ class TranslationEngine:
             # overflow before the next drain (worst case: all B slots die)
             room = st["cur"] < C - 2 * B
             take = free & (rank < avail) & (rank < UC) & room
+            # diagnostics: free slots we could NOT refill, split by cause —
+            # staging ring empty (starved) vs budget/backpressure (gated).
+            # Accumulated on device, reported in the header row; this makes
+            # the occupancy loss ATTRIBUTABLE (VERDICT r4 #4).
+            unfilled = free & ~take
+            starve = st["starve"] + jnp.sum(unfilled & (rank >= avail))
+            gated = st["gated"] + jnp.sum(unfilled & (rank < avail))
             # rank r -> slot index consuming staged entry tail+r
             slot_of = jnp.full((UC,), B, jnp.int32).at[
                 jnp.where(take, rank, UC)
@@ -272,6 +298,8 @@ class TranslationEngine:
                 start=st["start"].at[slot_of].set(g, mode="drop"),
                 live=st["live"].at[slot_of].set(True, mode="drop"),
                 tail=jnp.mod(st["tail"] + jnp.sum(take), HWRAP),
+                starve=starve,
+                gated=gated,
             )
 
         def chunk_fn(params, payloads, state, head):
@@ -362,6 +390,7 @@ class TranslationEngine:
             live, tok, start = st["live"], st["tok"], st["start"]
             tag, src_mask, tail = st["tag"], st["src_mask"], st["tail"]
             comp, cur = st["comp"], st["cur"]
+            starve, gated = st["starve"], st["gated"]
             out_before = st["out"]
             died_at = jnp.full((B,), -1, jnp.int32)
             n_final = jnp.zeros((B,), jnp.int32)
@@ -408,11 +437,13 @@ class TranslationEngine:
                     mid = dict(
                         st, cache={"layers": layers}, live=live, tok=tok,
                         start=start, tag=tag, src_mask=src_mask, tail=tail,
-                        cur=cur, g=jnp.mod(g0 + j, GWRAP), stage=stage)
+                        cur=cur, g=jnp.mod(g0 + j, GWRAP), stage=stage,
+                        starve=starve, gated=gated)
                     mid = refill(mid, head)
                     layers = mid["cache"]["layers"]
                     live, tok, start = mid["live"], mid["tok"], mid["start"]
                     tag, src_mask, tail = mid["tag"], mid["src_mask"], mid["tail"]
+                    starve, gated = mid["starve"], mid["gated"]
                 lpos = jnp.where(live, jnp.mod(g0 + j - start, GWRAP), -1)
                 age = jnp.mod(w0 + j - pos, T)                     # [T]
                 # in-chunk positions (age <= j) are stale until the flush;
@@ -458,14 +489,173 @@ class TranslationEngine:
                 occ_steps=st["occ_steps"] + self.chunk,
                 g=jnp.mod(g0 + self.chunk, GWRAP),
                 stage=stage,
+                starve=starve,
+                gated=gated,
             )
 
+        K = self.beam
+        G = B // K
+
+        def refill_beam(st, head):
+            """Group-granular refill: a free group (no live beam) takes one
+            staged request; its cross-K/V rows land in all K slots of the
+            group, beam 0 starts at score 0 and beams 1..K-1 at -1e9
+            (exactly the lockstep beam init, serving/decode.py:188)."""
+            stage = st["stage"]
+            g = st["g"]
+            free_g = ~jnp.any(st["live"].reshape(G, K), axis=1)     # [G]
+            rank = jnp.cumsum(free_g) - 1
+            avail = jnp.mod(head - st["tail"], HWRAP)
+            room = st["cur"] < C - 2 * G
+            take = free_g & (rank < avail) & (rank < G) & room
+            unfilled = free_g & ~take
+            starve = st["starve"] + K * jnp.sum(unfilled & (rank >= avail))
+            gated = st["gated"] + K * jnp.sum(unfilled & (rank < avail))
+            # staged entry r -> group index (or G = dropped)
+            group_of = jnp.full((G,), G, jnp.int32).at[
+                jnp.where(take, rank, G)
+            ].set(jnp.arange(G, dtype=jnp.int32), mode="drop")
+            stage_idx = (st["tail"] + jnp.arange(G, dtype=jnp.int32)) % R
+            # slots of entry r: group_of[r]*K + 0..K-1 (>= B when dropped)
+            slot_of = (group_of[:, None] * K
+                       + jnp.arange(K, dtype=jnp.int32)[None, :]).reshape(-1)
+            slot_of = jnp.where(slot_of < B, slot_of, B)
+            stage_rep = jnp.repeat(stage_idx, K)
+            new_layers = []
+            for lc, sl in zip(st["cache"]["layers"], stage["layers"]):
+                e = dict(lc)
+                for key in cross_keys:
+                    rows = sl[key][stage_rep]
+                    e[key] = lc[key].at[slot_of].set(rows, mode="drop")
+                new_layers.append(e)
+            init_scores = jnp.tile(
+                jnp.asarray([0.0] + [-1e9] * (K - 1), jnp.float32), (G,))
+            return dict(
+                st,
+                cache={"layers": new_layers},
+                src_mask=st["src_mask"].at[slot_of].set(
+                    stage["src_mask"][stage_rep], mode="drop"),
+                tag=st["tag"].at[slot_of].set(
+                    jnp.repeat(stage["tag"][stage_idx], K), mode="drop"),
+                tok=st["tok"].at[slot_of].set(cfg.bos_id, mode="drop"),
+                start=st["start"].at[slot_of].set(g, mode="drop"),
+                live=st["live"].at[slot_of].set(True, mode="drop"),
+                scores=st["scores"].at[slot_of].set(init_scores, mode="drop"),
+                fin=st["fin"].at[slot_of].set(False, mode="drop"),
+                blen=st["blen"].at[slot_of].set(1, mode="drop"),
+                tail=jnp.mod(st["tail"] + jnp.sum(take), HWRAP),
+                starve=starve,
+                gated=gated,
+            )
+
+        def chunk_beam(params, payloads, state, head):
+            """Advance the slot pool ``chunk_steps`` beam steps.  Per step:
+            one batched ``decode_step`` over all B beam-slots (log-probs —
+            scores accumulate), per-group top-K over [K*V] candidates, and
+            a beam-ancestry gather of the self-KV ring rows + output ring
+            (cross rows identical within a group are NOT gathered).  A
+            group completes when all K beams have emitted EOS (or hit the
+            ring cap); its completion row carries the GNMT-length-
+            normalised best beam — identical selection to the lockstep
+            ``beam_decode``."""
+            lin_ = lin_of(payloads)
+            st = refill_beam(state, head)
+            stage = st.pop("stage")
+            v = cfg.tgt_vocab_size
+            neg = jnp.float32(-1e9)
+            pad_row = jnp.full((B, v), neg).at[:, cfg.pad_id].set(0.0)
+            alpha = self.length_penalty
+
+            def lp_norm(length):
+                return ((5.0 + length) / 6.0) ** alpha
+
+            def body(st, _):
+                g = st["g"]
+                live = st["live"]
+                glive = jnp.any(live.reshape(G, K), axis=1)          # [G]
+                lpos = jnp.where(live, jnp.mod(g - st["start"], GWRAP), -1)
+                w = jnp.mod(g, T)
+                logp, cache = m.decode_step(
+                    params, st["cache"], st["tok"][:, None], lpos,
+                    st["src_mask"], lin=lin_, log_probs=True, ring_index=w)
+                logp = jnp.where(st["fin"][:, None], pad_row, logp)
+                cand = (st["scores"][:, None] + logp).reshape(G, K * v)
+                top_scores, top_idx = jax.lax.top_k(cand, K)         # [G, K]
+                beam_idx = top_idx // v
+                tok_idx = (top_idx % v).astype(jnp.int32)
+                flat_src = (jnp.arange(G)[:, None] * K + beam_idx).reshape(-1)
+                gl_slot = jnp.repeat(glive, K)                       # [B]
+                # dead groups keep their state inert
+                keep = jnp.where(gl_slot, flat_src,
+                                 jnp.arange(B, dtype=jnp.int32))
+                self_keys = (("k", "v", "k_scale", "v_scale")
+                             if kv_cache_dtype == "int8" else ("k", "v"))
+                new_layers = []
+                for lc in cache["layers"]:
+                    e = dict(lc)
+                    for key in self_keys:
+                        e[key] = lc[key][keep]
+                    new_layers.append(e)
+                nxt = jnp.where(gl_slot, tok_idx.reshape(-1), cfg.pad_id)
+                out = jax.lax.dynamic_update_slice(
+                    st["out"][keep], nxt[:, None], (0, w))
+                fin_src = st["fin"][keep]
+                blen_src = st["blen"][keep]
+                fin = jnp.where(gl_slot, fin_src | (nxt == cfg.eos_id),
+                                fin_src)
+                blen = jnp.where(gl_slot & ~fin_src, blen_src + 1, blen_src)
+                scores = jnp.where(gl_slot, top_scores.reshape(-1),
+                                   st["scores"])
+                # group death: all beams finished, or ring cap reached
+                lpos_g = lpos.reshape(G, K)[:, 0]
+                glive_new = (glive & ~jnp.all(fin.reshape(G, K), axis=1)
+                             & (lpos_g + 2 < T))
+                died = glive & ~glive_new
+                # best beam per group by normalised score (lockstep rule)
+                norm = (scores / lp_norm(blen.astype(jnp.float32))
+                        ).reshape(G, K)
+                best = jnp.argmax(norm, axis=1)
+                best_flat = jnp.arange(G) * K + best
+                drank = jnp.cumsum(died) - 1
+                entry = jnp.concatenate(
+                    [st["tag"].reshape(G, K)[:, 0][:, None],
+                     (lpos_g + 1)[:, None],
+                     jnp.mod(st["start"].reshape(G, K)[:, 0], T)[:, None],
+                     pack_ring(out[best_flat])], axis=1)
+                comp = st["comp"].at[jnp.where(died, st["cur"] + drank, C)
+                                     ].set(entry, mode="drop")
+                live_new = jnp.repeat(glive_new, K)
+                return dict(
+                    st,
+                    cache={"layers": new_layers},
+                    tok=jnp.where(live_new, nxt, st["tok"]),
+                    live=live_new,
+                    out=out,
+                    comp=comp,
+                    scores=scores,
+                    fin=fin,
+                    blen=blen,
+                    cur=st["cur"] + jnp.sum(died),
+                    occ=st["occ"] + jnp.sum(live),
+                    occ_steps=st["occ_steps"] + 1,
+                    g=jnp.mod(g + 1, GWRAP),
+                ), None
+
+            st, _ = jax.lax.scan(body, st, None, length=self.chunk)
+            return dict(st, stage=stage)
+
+        # report row width: 3 meta + packed ring, but at least 6 so the
+        # header's starve/gated diagnostic columns exist at tiny max_len
+        HW = max(6, 3 + PT)
+
         def header_of(state):
-            header = jnp.zeros((1, 3 + PT), jnp.int32)
+            header = jnp.zeros((1, HW), jnp.int32)
             return (header.at[0, 0].set(state["cur"])
                     .at[0, 1].set(state["tail"])
                     .at[0, 2].set(state["occ"])
-                    .at[0, 3].set(state["occ_steps"]))
+                    .at[0, 3].set(state["occ_steps"])
+                    .at[0, 4].set(state["starve"])
+                    .at[0, 5].set(state["gated"]))
 
         def sync_fn(state):
             """Cheap feedback probe: ONE header row [1, T+3] (~300 B fetch)
@@ -483,10 +673,15 @@ class TranslationEngine:
             [tag, n_tokens, ring_start, out_ring...] per finished request.
             Dispatched only when the synced ``cur`` says the buffer is worth
             the ~(C+1)*(T+3)*4-byte fetch, or at the drain tail."""
-            report = jnp.concatenate([header_of(state), state["comp"]], axis=0)
+            comp = state["comp"]
+            if HW > 3 + PT:
+                comp = jnp.pad(comp, ((0, 0), (0, HW - (3 + PT))))
+            report = jnp.concatenate([header_of(state), comp], axis=0)
             return dict(state, cur=jnp.zeros((), jnp.int32),
                         occ=jnp.zeros((), jnp.int32),
-                        occ_steps=jnp.zeros((), jnp.int32)), report
+                        occ_steps=jnp.zeros((), jnp.int32),
+                        starve=jnp.zeros((), jnp.int32),
+                        gated=jnp.zeros((), jnp.int32)), report
 
         self._C = C
         self._prefill = {
@@ -497,7 +692,9 @@ class TranslationEngine:
         # T a multiple of chunk (flushes must not straddle the ring seam)
         self._stacked = None
         first = self._payloads.get("decoder.layers.0.self_attn.linears.0")
-        if (kv_cache_dtype == "int8" and mesh is None and not fused_attn
+        if self.beam > 1:
+            self._chunk = jax.jit(chunk_beam, donate_argnums=(2,))
+        elif (kv_cache_dtype == "int8" and mesh is None and not fused_attn
                 and not self._tm and chunk_steps >= 1
                 and self.T % chunk_steps == 0
                 and first is not None and "wq" in first
@@ -575,6 +772,15 @@ class TranslationEngine:
             # makes slot utilisation a measured, reported quantity)
             "occ": jnp.zeros((), jnp.int32),
             "occ_steps": jnp.zeros((), jnp.int32),
+            # refill-loss attribution counters (free slots not refilled,
+            # sampled at each refill: ring-empty vs budget/backpressure)
+            "starve": jnp.zeros((), jnp.int32),
+            "gated": jnp.zeros((), jnp.int32),
+            # beam-mode per-slot search state (greedy paths carry them
+            # untouched; scores init mirrors serving/decode.py:188)
+            "scores": jnp.zeros((self.B,), jnp.float32),
+            "fin": jnp.zeros((self.B,), bool),
+            "blen": jnp.ones((self.B,), jnp.int32),
         }
         stage_layers = []
         for _ in range(self.model.cfg.num_layers):
@@ -620,7 +826,8 @@ class TranslationEngine:
             shard_kv(state["cache"])
             shard_kv(stage)
             for key in ("src_mask", "tag", "tok", "start", "live", "out",
-                        "tail", "g", "comp", "cur", "occ", "occ_steps"):
+                        "tail", "g", "comp", "cur", "occ", "occ_steps",
+                        "starve", "gated", "scores", "fin", "blen"):
                 state[key] = put(state[key], P())
             for key in ("src_mask", "tag"):
                 stage[key] = put(stage[key], P())
@@ -684,6 +891,8 @@ class TranslationEngine:
         n_done = int(report[0, 0])
         self.occ_live_steps += int(report[0, 2])
         self.occ_slot_steps += int(report[0, 3]) * self.B
+        self.starved_slots += int(report[0, 4])
+        self.gated_slots += int(report[0, 5])
         finished = []
         cfg = self.model.cfg
         for row in report[1 : 1 + n_done]:
@@ -691,7 +900,7 @@ class TranslationEngine:
             req = self._inflight.pop(tag, None)
             if req is None:      # defensive: duplicate/unknown tag
                 continue
-            packed = row[3:].astype(np.int64)
+            packed = row[3:3 + self._PT].astype(np.int64)
             ring = np.empty(2 * self._PT, np.int32)
             ring[0::2] = packed & 0xFFFF
             ring[1::2] = (packed >> 16) & 0xFFFF

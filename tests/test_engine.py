@@ -125,6 +125,7 @@ def test_engine_tp_mesh_matches_single_device(setup):
         assert got[rid] == want_toks, (rid, got[rid], want_toks)
 
 
+@pytest.mark.slow
 def test_engine_fused_attn_int8_matches_jnp(setup):
     """Engine with int8 KV + the fused Pallas attention kernel must match
     the engine on the jnp int8 path (slots at heterogeneous positions
@@ -210,6 +211,7 @@ def test_engine_staging_ring_wraparound(setup):
     assert all(r.done for r in done)
 
 
+@pytest.mark.slow
 def test_engine_time_major_cache_matches_batch_major(setup):
     """Opt-in time-major self-KV ring must be output-identical to the
     default batch-major layout (same math, different storage order)."""
@@ -232,6 +234,7 @@ def test_engine_time_major_cache_matches_batch_major(setup):
         assert got_b[rb_] == got_t[rt]
 
 
+@pytest.mark.slow
 def test_bucketed_fleet_matches_single_engine(setup):
     """Per-bucket pools must emit exactly the single full-length engine's
     outputs for every request whose source fits its bucket."""
@@ -255,6 +258,7 @@ def test_bucketed_fleet_matches_single_engine(setup):
         assert got_s[a] == got_f[b], (a, b, got_s[a], got_f[b])
 
 
+@pytest.mark.slow
 def test_engine_chaos_small_rings_interleaved_waves(setup):
     """Property test: tiny slot pool + tiny staging ring + tiny completion
     cadence, requests submitted in interleaved waves — every request must
@@ -316,6 +320,7 @@ def test_fast_chunk_path_matches_lockstep_int8():
         assert done[i].out_tokens == exp, (i, done[i].out_tokens, exp)
 
 
+@pytest.mark.slow
 def test_int4_impl_uses_general_path():
     """W4A8 payloads carry 'wq_packed' (and different numerics): the engine
     must NOT engage the int8 fast chunk path, and must still serve
@@ -350,3 +355,75 @@ def test_int4_impl_uses_general_path():
                 break
             exp.append(int(t))
         assert done[i].out_tokens == exp[: T - 1], (i, done[i].out_tokens)
+
+
+# ---------------------------------------------------------------- beam mode
+
+def _beam_reference(m, params, srcs, max_len, k=4, lin=None, kv="fp32"):
+    """Lockstep beam_decode best hypotheses, trimmed like engine outputs."""
+    from onnx_transformer_tpu.models.transformer import default_linear
+
+    sm = jnp.asarray(L.make_src_mask(jnp.asarray(srcs)))
+    ys = np.array(D.beam_decode(m, params, jnp.asarray(srcs), sm, max_len,
+                                beam_size=k, lin=lin or default_linear,
+                                kv_cache_dtype=kv))
+    outs = []
+    for row in ys:
+        toks = []
+        for t in row[1:]:
+            if t == m.cfg.eos_id or t == m.cfg.pad_id:
+                break
+            toks.append(int(t))
+        outs.append(toks)
+    return outs
+
+
+def test_engine_beam_matches_lockstep_beam(setup):
+    """Slot-group beam engine (K slots per request, ancestry-gathered
+    self-KV ring) must reproduce the lockstep beam_decode best hypothesis
+    per request — the engine-beam output-identity oracle (VERDICT r4 #5;
+    the reference has no beam at all, greedy_decoding.py:6-19)."""
+    m, params, srcs = setup
+    max_len = 12
+    K = 4
+    want = _beam_reference(m, params, srcs, max_len, k=K)
+    eng = TranslationEngine(m, params, num_slots=2 * K, src_len=srcs.shape[1],
+                            max_len=max_len, chunk_steps=3, beam_size=K)
+    ids = [eng.submit(s) for s in srcs]
+    done = eng.run()
+    assert len(done) == len(srcs)
+    got = {r.req_id: r.out_tokens for r in done}
+    for rid, want_toks in zip(ids, want):
+        assert got[rid] == want_toks, (rid, got[rid], want_toks)
+
+
+@pytest.mark.slow
+def test_engine_beam_int8_matches_lockstep_beam(setup):
+    """Beam engine on the int8-KV cache path with a W8A8 impl."""
+    from onnx_transformer_tpu.quant import w8a8 as W
+
+    m, params, srcs = setup
+    max_len = 12
+    K = 3
+    sp, lin8 = W.quantize_transformer(m, params, mode="int8")
+    want = _beam_reference(m, sp, srcs, max_len, k=K, lin=lin8, kv="int8")
+    eng = TranslationEngine(m, sp, lin=lin8, num_slots=3 * K,
+                            src_len=srcs.shape[1], max_len=max_len,
+                            chunk_steps=4, kv_cache_dtype="int8", beam_size=K)
+    ids = [eng.submit(s) for s in srcs]
+    done = eng.run()
+    got = {r.req_id: r.out_tokens for r in done}
+    for rid, want_toks in zip(ids, want):
+        assert got[rid] == want_toks, (rid, got[rid], want_toks)
+
+
+def test_engine_beam_more_requests_than_groups(setup):
+    """Group reuse: more requests than beam groups completes them all."""
+    m, params, srcs = setup
+    eng = TranslationEngine(m, params, num_slots=4, src_len=srcs.shape[1],
+                            max_len=8, chunk_steps=2, beam_size=2)
+    for s in srcs:
+        eng.submit(s)
+    done = eng.run()
+    assert len(done) == len(srcs)
+    assert all(r.done and len(r.out_tokens) <= 7 for r in done)

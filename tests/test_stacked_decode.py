@@ -50,6 +50,22 @@ def test_greedy_chunked_matches_general_int8(setup, chunk):
     np.testing.assert_array_equal(ys_fast, ys_gen)
 
 
+@pytest.mark.parametrize("segments", [2, 3])
+def test_greedy_chunked_segments_match_general(setup, segments):
+    """Segment-grown self-KV ring (reads only the prefix that can be
+    valid) must stay token-identical to the general path — masked tail
+    columns contribute exact softmax zeros."""
+    m, sp, lin8, stacked = setup
+    src, sm = _src()
+    max_len = 12
+    ys_gen = np.array(D.greedy_decode(
+        m, sp, src, sm, max_len, lin=lin8, kv_cache_dtype="int8"))
+    ys_seg = np.array(SD.greedy_decode_chunked(
+        m, sp, stacked, src, sm, max_len, chunk=2, lin=lin8,
+        segments=segments))
+    np.testing.assert_array_equal(ys_seg, ys_gen)
+
+
 def test_int8_generator_variant(setup):
     m, sp, _, _ = setup
     src, sm = _src()
