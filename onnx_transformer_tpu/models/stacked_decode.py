@@ -228,6 +228,13 @@ def _attn_groups(
     inv = np.float32(1.0 / np.sqrt(dk))
     hsel = jnp.asarray(_hsel(d, h))
     qbd = jnp.where(hsel[None], qi[:, :, None], 0)                  # [B,D,H] i8
+    # scores stay [B, Tg, H] with an axis-1 softmax.  Measured negative
+    # result of record (r5): the axis-1 softmax DOES lower to an O(T^2)
+    # reduce-window on TPU (traced at 97us/layer/step, 27 GB/s), but it
+    # OVERLAPS with the cache DMA reads the step is actually bound by —
+    # reformulating to [B, H, T] + last-axis softmax measured 1.73 ms/step
+    # vs 1.03 (the transposed score/AV layouts add real traffic; the
+    # reduce-window was hiding under the reads).
     parts = []
     for g in groups:
         s32 = jax.lax.dot_general(
@@ -272,7 +279,14 @@ def layer_stack_step_inflight(
     appended to the in-flight chunk staging (plain SSA values — the main
     cache is written once per chunk by :func:`flush_inflight`).  The step
     index within the chunk is static (callers unroll the chunk), so the
-    staged shapes grow j=1..C with zero dynamic indexing."""
+    staged shapes grow j=1..C with zero dynamic indexing.
+
+    Measured negative result (r5): replacing the growing concat with
+    fixed [B,C,D] staging buffers updated at static row ``j`` costs
+    +0.67 ms/step at B=512/C=8 — the row updates into an existing buffer
+    are SPARSE strided stores paying the same ~65 ns/row toll the chunked
+    design exists to avoid, while each concat writes a dense fresh
+    buffer.  The O(C^2/2) concat rewrite is the cheaper trade at C=8."""
     n = len(cache_layers)
     new_inflight = []
     for l in range(n):

@@ -704,10 +704,26 @@ class Transformer:
         into a staging ring instead of a fresh cache)."""
         int8 = cache_dtype == "int8"
         h = self.cfg.num_heads
+        # producer fast path: a fused-mode W8A8 impl can emit int8 rows +
+        # per-token scales straight from the kernel (quant_w8a8_matmul_q8)
+        # — no fp32 projection output in HBM, no separate quantize pass
+        q8 = getattr(lin, "linear_q8", None) if (
+            int8 and taps is None and inject is None) else None
         layers = []
         for i, lp in enumerate(params["decoder"]["layers"]):
             nm = f"decoder.layers.{i}.src_attn"
             ap = lp["src_attn"]
+            if q8 is not None:
+                rk = q8(f"{nm}.linears.1", memory)
+                rv = q8(f"{nm}.linears.2", memory)
+                if rk is not None and rv is not None:
+                    layers.append({
+                        "cross_k": rk[0],         # [B, S, D] int8
+                        "cross_v": rv[0],
+                        "cross_k_scale": rk[1],   # [B, S, 1]
+                        "cross_v_scale": rv[1],
+                    })
+                    continue
             ckf = lin(f"{nm}.linears.1", memory, ap["k"]["w"], ap["k"]["b"], taps, inject)
             cvf = lin(f"{nm}.linears.2", memory, ap["v"]["w"], ap["v"]["b"], taps, inject)
             if int8:

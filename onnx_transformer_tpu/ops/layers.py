@@ -270,6 +270,10 @@ def int8_cache_attention_qdot(
     qi = jnp.round(q_full / sq).astype(jnp.int8)[:, 0, :]           # [B,D]
     hsel = (np.arange(d) // dk)[:, None] == np.arange(h)[None, :]   # [D,H]
     qbd = jnp.where(jnp.asarray(hsel)[None], qi[:, :, None], 0)     # [B,D,H] i8
+    # scores stay [B, T, H] / axis-1 softmax: the softmax's reduce-window
+    # lowering overlaps with the cache DMA the step is bound by; the
+    # [B, H, T] last-axis reformulation measured 1.73 vs 1.03 ms/step
+    # (r5 negative result — see stacked_decode._attn_groups)
     s32 = jax.lax.dot_general(
         kq, qbd, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.int32)                           # [B,T,H]
@@ -317,6 +321,7 @@ def int8_cache_attention_qdot_tm(
     hsel = (np.arange(d) // dk)[:, None] == np.arange(h)[None, :]   # [D,H]
     qbd = jnp.where(jnp.asarray(hsel)[None], qi[:, :, None], 0)     # [B,D,H] i8
     # scores: batch over B, contract D — both operands in storage order
+    # ([B,T,H]/axis-1 softmax kept: see int8_cache_attention_qdot)
     s32 = jax.lax.dot_general(
         kq, qbd, (((2,), (1,)), ((1,), (0,))),
         preferred_element_type=jnp.int32)                           # [B,T,H]

@@ -161,6 +161,85 @@ def _quant_w8a8_kernel_qout(x_ref, w_ref, sw_ref, b_ref, o_ref):
     o_ref[:] = jnp.round(y / sy) * sy
 
 
+def _quant_w8a8_kernel_q8(x_ref, w_ref, sw_ref, b_ref, oq_ref, os_ref):
+    """As _quant_w8a8_kernel_qout, but emits the output rows ALREADY
+    quantized: int8 rows + per-token scales, no fp32 output tensor ever
+    touches HBM.  This is the producer form the int8 KV cache consumes
+    (cross-K/V prefill): it collapses fake-quant + downstream re-quantize
+    into the kernel epilogue (the parity-tested collapse of
+    models/stacked_decode._w8a8_q)."""
+    x = x_ref[:]
+    absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    sx = jnp.clip(absmax, SCALE_FLOOR, None) / 127.0
+    xq = jnp.round(x / sx).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, w_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * (sx * sw_ref[:]) + b_ref[:]
+    sy = jnp.clip(jnp.max(jnp.abs(y), axis=-1, keepdims=True),
+                  SCALE_FLOOR, None) / 127.0
+    oq_ref[:] = jnp.round(y / sy).astype(jnp.int8)
+    os_ref[:] = sy
+
+
+@partial(jax.jit, static_argnames=("block_m", "interpret"))
+def quant_w8a8_matmul_q8(
+    x: jax.Array,    # f32 [..., K]
+    wq: jax.Array,   # int8 [K, N]
+    sw: jax.Array,   # f32 [N]
+    b: jax.Array | None = None,
+    block_m: int = 256,
+    interpret: bool | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused quantize + int8 matmul + per-token OUTPUT quantization ->
+    (int8 [..., N], scales [..., 1]).  One x read, one int8 write: the
+    fp32 projection output never materialises in HBM (vs the qout kernel
+    + XLA re-quantize chain: fp32 write + read + int8 write).  The int8
+    rows and scales are exactly ``quantize_act_per_token`` of the qout
+    kernel's output (same collapse as stacked_decode._w8a8_q)."""
+    interpret = resolve_interpret(interpret)
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    n = wq.shape[-1]
+    assert k <= 2048 and n <= 2048, "q8 kernel requires single K/N blocks"
+    x2 = x.reshape(-1, k).astype(jnp.float32)
+    m = x2.shape[0]
+    bm = min(block_m, max(8, 1 << (m - 1).bit_length()))
+    x2 = _pad_to(x2, bm, 0)
+    mp = x2.shape[0]
+    if b is None:
+        b = jnp.zeros((n,), jnp.float32)
+
+    oq, os_ = pl.pallas_call(
+        _quant_w8a8_kernel_q8,
+        grid=(mp // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((bm, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((mp, n), jnp.int8),
+            jax.ShapeDtypeStruct((mp, 1), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * n * k,
+            bytes_accessed=mp * k * 4 + k * n + mp * n,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x2, wq, sw.reshape(1, n).astype(jnp.float32),
+      b.reshape(1, n).astype(jnp.float32))
+    return (oq[:m].reshape(*lead, n), os_[:m].reshape(*lead, 1))
+
+
 @partial(jax.jit, static_argnames=("block_m", "interpret"))
 def quant_w8a8_matmul_qout(
     x: jax.Array,    # f32 [..., K]

@@ -117,7 +117,10 @@ def make_w8a8_linear_impl(
     if mode == "pallas":
         from onnx_transformer_tpu.ops.pallas.w8a8_matmul import w8a8_matmul
     if mode == "fused":
-        from onnx_transformer_tpu.ops.pallas.w8a8_matmul import quant_w8a8_matmul_qout
+        from onnx_transformer_tpu.ops.pallas.w8a8_matmul import (
+            quant_w8a8_matmul_q8,
+            quant_w8a8_matmul_qout,
+        )
 
     def lin(name: str, x, w, b, taps=None, inject=None):
         p = payloads.get(name)
@@ -167,6 +170,23 @@ def make_w8a8_linear_impl(
     # -> the decode attention may recover their int8 representation losslessly
     # and run the score dot in int8 on the MXU (int8_cache_attention_qdot)
     lin.quantized_output_grid = True
+
+    if mode == "fused":
+        def linear_q8(name, x, w=None, b=None):
+            """Producer form for int8-cache consumers (cross-KV prefill):
+            (int8 rows, per-token scales) straight from the kernel — the
+            fp32 projection output never touches HBM.  Returns None when
+            the call cannot take the kernel path (caller falls back to the
+            fake-quant chain + quantize_act_per_token)."""
+            p = payloads.get(name)
+            if (p is None or not is_quantized_output(name)
+                    or int(np.prod(x.shape[:-1])) < FUSED_MIN_TOKENS
+                    or x.shape[-1] > 2048 or p["wq"].shape[-1] > 2048):
+                return None
+            return quant_w8a8_matmul_q8(x, p["wq"], p["sw"], p["b"],
+                                        block_m=512)
+
+        lin.linear_q8 = linear_q8
     # jit-boundary contract: closure-captured device arrays (jit consts) put
     # the tunneled TPU runtime on a permanent ~28 ms-per-sync slow path
     # (measured: consts-in-closure 31 ms/call vs consts-as-args 0.14 ms).

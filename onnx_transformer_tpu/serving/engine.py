@@ -992,22 +992,29 @@ class TranslationEngine:
                 # top up the staging ring before every chunk (no-op when the
                 # conservative free-space estimate says the ring is full)
                 self._admit()
-                self._state = self._dispatch_chunk(
-                    self._state,
-                    jnp.asarray(self._head % self._HWRAP, jnp.int32))
-                since_sync += 1
-                since_harvest += 1
                 queued = sum(len(q) for q in self._queues.values())
                 queue_empty = queued == 0
+                # drain tail: when the rate estimate says every in-flight
+                # request has already completed, STOP dispatching chunks —
+                # each one burns chunk*B dead slot-steps (measured: the
+                # single largest occupancy loss at 12x-slot streams) — and
+                # go straight to a harvest
+                tail_done = (queue_empty and bool(self._inflight)
+                             and since_harvest * est
+                             >= 1.1 * len(self._inflight))
+                if not tail_done:
+                    self._state = self._dispatch_chunk(
+                        self._state,
+                        jnp.asarray(self._head % self._HWRAP, jnp.int32))
+                    since_sync += 1
+                    since_harvest += 1
                 # harvest when the estimated completion count approaches the
                 # device buffer's capacity, or (drain tail) pending requests
                 # should have finished
                 want = (since_harvest * est >= 0.7 * self._C
                         or self._cur_known >= self._C // 2
                         or since_harvest * self.chunk >= 2 * self.T
-                        or (queue_empty and self._inflight
-                            and since_harvest * est
-                            >= 0.9 * len(self._inflight)))
+                        or tail_done)
                 if want:
                     self._state, report = self._drain(self._state)
                     self._cur_known = 0
@@ -1022,10 +1029,11 @@ class TranslationEngine:
                     # ring needs the tail to admit the remaining queue, or a
                     # harvest decision is approaching (confirm with real cur)
                     enqueue(self._sync(self._state), "sync")
-                # process whatever the fetcher finished; block only when the
-                # pipeline is full
+                # process whatever the fetcher finished; block when the
+                # pipeline is full, or when the drain tail stopped
+                # dispatching chunks (nothing to overlap the fetch with)
                 while in_flight > 0:
-                    block = in_flight >= pipeline_depth
+                    block = in_flight >= pipeline_depth or tail_done
                     try:
                         rep = fetched.get(block=block)
                     except pyqueue.Empty:

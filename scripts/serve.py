@@ -54,6 +54,10 @@ def main():
                          "a model mesh axis of this size")
     ap.add_argument("--input", default="-", help="source file of BPE lines, or - for stdin")
     ap.add_argument("--num-slots", type=int, default=32)
+    ap.add_argument("--beam", type=int, default=1,
+                    help="slot-group beam width K (K consecutive slots per "
+                         "request; GNMT length-normalised best hypothesis — "
+                         "the reference has no beam, greedy_decoding.py:6-19)")
     ap.add_argument("--src-len", type=int, default=72)
     ap.add_argument("--max-len", type=int, default=72)
     ap.add_argument("--raw", action="store_true", help="print BPE tokens, no @@-unmerge")
@@ -101,7 +105,8 @@ def main():
     eng = TranslationEngine(
         model, params, lin=lin, num_slots=args.num_slots,
         src_len=args.src_len, max_len=args.max_len,
-        kv_cache_dtype=args.kv_dtype, fused_attn=args.fused_attn, mesh=mesh)
+        kv_cache_dtype=args.kv_dtype, fused_attn=args.fused_attn, mesh=mesh,
+        beam_size=args.beam)
 
     lines = (sys.stdin if args.input == "-" else open(args.input)).read().splitlines()
     order = {}

@@ -202,3 +202,75 @@ def test_quant_w8a8_matmul_ktiled_ragged_k():
     ).astype(jnp.float32) * (sx * sw[None, :]))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-6, atol=1e-4)
+
+
+def test_quant_w8a8_matmul_q8_matches_qout_then_quantize():
+    """q8 kernel (int8 rows + per-token scales) must equal
+    quantize_act_per_token(qout-kernel output) — the cross-KV producer
+    collapse (VERDICT r4 #3)."""
+    import numpy as np
+    from onnx_transformer_tpu.ops.pallas.w8a8_matmul import (
+        quant_w8a8_matmul_q8, quant_w8a8_matmul_qout)
+    from onnx_transformer_tpu.quant.core import quantize_act_per_token
+
+    rng = np.random.default_rng(17)
+    b, s, k, n = 3, 16, 64, 96
+    x = jnp.asarray(rng.normal(size=(b, s, k)), jnp.float32)
+    wq = jnp.asarray(rng.integers(-127, 128, (k, n)), jnp.int8)
+    sw = jnp.asarray(rng.uniform(0.001, 0.01, (n,)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(n,)) * 0.1, jnp.float32)
+
+    q, sc = quant_w8a8_matmul_q8(x, wq, sw, bias)
+    assert q.shape == (b, s, n) and q.dtype == jnp.int8
+    assert sc.shape == (b, s, 1)
+    y_fake = quant_w8a8_matmul_qout(x, wq, sw, bias)
+    want_q, want_s = quantize_act_per_token(y_fake)
+    np.testing.assert_allclose(np.asarray(sc), np.asarray(want_s),
+                               rtol=1e-6, atol=1e-8)
+    np.testing.assert_array_equal(np.asarray(q), np.asarray(want_q))
+
+
+def test_cross_kv_q8_producer_matches_chain():
+    """cross_kv with a fused-mode impl (kernel q8 producer) must emit the
+    same int8 cache rows/scales as the fake-quant chain + quantize path,
+    and the downstream greedy decode must be token-identical."""
+    import numpy as np
+    from onnx_transformer_tpu.models.transformer import Transformer, TransformerConfig
+    from onnx_transformer_tpu.ops import layers as L
+    from onnx_transformer_tpu.quant import w8a8 as W
+    from onnx_transformer_tpu.serving import decode as D
+
+    cfg = TransformerConfig(src_vocab_size=37, tgt_vocab_size=31,
+                            num_layers=2, d_model=32, d_ff=64, num_heads=4,
+                            dropout=0.0)
+    m = Transformer(cfg)
+    params = m.init(jax.random.key(3))
+    sp, lin8 = W.quantize_transformer(m, params, mode="int8")
+    linf = W.make_w8a8_linear_impl(lin8.payloads, mode="fused")
+    rng = np.random.default_rng(4)
+    src = jnp.asarray(rng.integers(4, 37, (4, 9)).astype(np.int32))
+    sm = L.make_src_mask(src)
+    mem = m.encode(sp, src, sm, lin=lin8)
+
+    import onnx_transformer_tpu.quant.w8a8 as W8
+    orig = W8.FUSED_MIN_TOKENS
+    W8.FUSED_MIN_TOKENS = 1
+    try:
+        cross_k = m.cross_kv(sp, mem, lin=linf, cache_dtype="int8")
+        ys_f = np.array(D.greedy_decode(m, sp, src, sm, 10, lin=linf,
+                                        kv_cache_dtype="int8"))
+    finally:
+        W8.FUSED_MIN_TOKENS = orig
+    cross_ref = m.cross_kv(sp, mem, lin=lin8, cache_dtype="int8")
+    for lc_k, lc_r in zip(cross_k, cross_ref):
+        np.testing.assert_allclose(np.asarray(lc_k["cross_k_scale"]),
+                                   np.asarray(lc_r["cross_k_scale"]),
+                                   rtol=1e-5, atol=1e-8)
+        # int8 rows may differ by 1 ulp of rounding where the fp32 chain
+        # and the kernel FMA paths land on a .5 boundary — count them
+        diff = np.mean(np.asarray(lc_k["cross_k"]) != np.asarray(lc_r["cross_k"]))
+        assert diff < 0.01, diff
+    ys_r = np.array(D.greedy_decode(m, sp, src, sm, 10, lin=lin8,
+                                    kv_cache_dtype="int8"))
+    agree = np.mean(ys_f == ys_r)
+    assert agree >= 0.95, agree
