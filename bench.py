@@ -135,10 +135,16 @@ def run_engine_stream(model, params, lin8, pairs, vs, vt):
     Returns (useful tok/s, completed requests, slot occupancy)."""
     from onnx_transformer_tpu.serving.engine import TranslationEngine
 
+    # r5 engine sweep (scripts/r5_engine.py, RESULTS r5): comp_capacity
+    # 8192 removes the completion-buffer refill backpressure (gated
+    # 4910 -> 128 slots) and a stream-sized staging ring removes the
+    # admission feedback syncs entirely; refill_every 3/2 measured
+    # slower (extra refill work > recovered slot-steps)
     eng = TranslationEngine(
         model, params, lin=lin8, num_slots=BATCH, src_len=MAX_LEN,
         max_len=MAX_LEN, chunk_steps=12, kv_cache_dtype="int8",
-        prefill_chunk=512, stage_capacity=4096, buckets=(24, 48, 72),
+        prefill_chunk=512, stage_capacity=len(pairs) + BATCH,
+        comp_capacity=8192, buckets=(24, 48, 72),
     )
     reqs = []
     for s, _ in pairs:
@@ -149,6 +155,7 @@ def run_engine_stream(model, params, lin8, pairs, vs, vt):
         eng.submit(r)
     eng.run(pipeline_depth=2, drain_every=4)
     eng.occ_live_steps = eng.occ_slot_steps = 0
+    eng.starved_slots = eng.gated_slots = 0
     # timed run over the full stream
     t0 = time.perf_counter()
     for r in reqs:
@@ -157,7 +164,7 @@ def run_engine_stream(model, params, lin8, pairs, vs, vt):
     dt = time.perf_counter() - t0
     useful = sum(len(r.out_tokens) + 1 for r in done)  # +1: the EOS the user
     occ = eng.occ_live_steps / max(eng.occ_slot_steps, 1)  # waits for
-    return useful / dt, len(done), occ
+    return useful / dt, len(done), occ, eng.starved_slots, eng.gated_slots
 
 
 def train_flops_per_token(cfg) -> float:
@@ -381,11 +388,51 @@ def main():
     # too (lin4.payloads etc.) — drop them or the device arrays stay resident
     del lin4, lin8g, dec_i4, dec_gen8, dec_fp, dec_ee, dec_b1, rb8g
     gc.collect()
-    engine_useful_rate, engine_done, engine_occ = run_engine_stream(
+    engine_useful_rate, engine_done, engine_occ, estv, egat = run_engine_stream(
         model, sp, linf, pairs[: BATCH * 12], vs, vt)
     out["engine_useful_tokens_per_sec"] = round(engine_useful_rate, 1)
     out["engine_requests"] = engine_done
     out["engine_occupancy"] = round(engine_occ, 3)
+    out["engine_starved_slots"] = estv
+    out["engine_gated_slots"] = egat
+
+    # slot-group beam engine (VERDICT r4 #5): BLEU vs the lockstep beam on
+    # the same requests + useful-rate ratio vs the greedy engine
+    if trained and os.path.exists(data_dir):
+        from onnx_transformer_tpu.serving.engine import TranslationEngine
+
+        K = 4
+        eng_b = TranslationEngine(
+            model, sp, lin=linf, num_slots=BATCH, src_len=MAX_LEN,
+            max_len=MAX_LEN, chunk_steps=12, kv_cache_dtype="int8",
+            prefill_chunk=256, stage_capacity=2 * BATCH,
+            comp_capacity=4 * BATCH, buckets=(24, 48, 72), beam_size=K)
+        beam_pairs = pairs[:BATCH]
+        breqs = []
+        for s, _ in beam_pairs:
+            bsrc, _t = collate([(s, "")], vs, vt, MAX_LEN)
+            breqs.append(np.asarray(bsrc[0]))
+        for r in breqs[:64]:                    # warm-up compile
+            eng_b.submit(r)
+        eng_b.run(pipeline_depth=2, drain_every=4)
+        t0 = time.perf_counter()
+        ids = [eng_b.submit(r) for r in breqs]
+        done_b = {r.req_id: r for r in eng_b.run(pipeline_depth=2,
+                                                 drain_every=4)}
+        dt_b = time.perf_counter() - t0
+        useful_b = sum(len(r.out_tokens) + 1 for r in done_b.values())
+        hyp_tok = [[vt.itos[t] for t in done_b[i].out_tokens] for i in ids]
+        refs_b = [[t.split()] for _, t in beam_pairs]
+        out["engine_beam_bleu"] = round(
+            corpus_bleu(refs_b, hyp_tok, smoothing="method4"), 4)
+        out["engine_beam_useful_tokens_per_sec"] = round(useful_b / dt_b, 1)
+        # lockstep beam oracle on the same batch
+        ys_beam = np.array(jax.jit(
+            lambda p, pl, s, m: D.beam_decode(
+                model, p, s, m, MAX_LEN, beam_size=K, lin=rb8(pl),
+                kv_cache_dtype="int8"))(sp, pl8, src, sm))
+        out["lockstep_beam_bleu"] = round(corpus_bleu(
+            refs_b, D.ids_to_tokens(ys_beam, vt), smoothing="method4"), 4)
 
     print(json.dumps(out))
 

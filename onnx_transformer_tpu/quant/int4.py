@@ -97,12 +97,16 @@ def make_w4a8_linear_impl(payloads: dict, a_bits: int = 8,
             return default_linear(name, x, w, b, taps, inject)
         if (fused and taps is None and inject is None and a_bits == 8
                 and int(np.prod(x.shape[:-1])) >= W8.FUSED_MIN_TOKENS
+                and is_quantized_output(name)
                 and x.shape[-1] <= 4096
                 and p["wq_packed"].shape[-1] % min(512, p["wq_packed"].shape[-1]) == 0):
+            # kernel only for the quantized-output q/k/v projections,
+            # mirroring the int8 fused gating: XLA's own fusion beats the
+            # plain kernel on the other linears (RESULTS r4 finding 4),
+            # and routing the FFN through it was the r4 int4-row
+            # regression suspect (BENCH_r04 248.7k vs the ~290k claim)
             y = quant_w4a8_matmul(x, p["wq_packed"], p["sw"], p["b"])
-            if is_quantized_output(name):
-                y = Q.fake_quant_act_per_token(y, a_bits)
-            return y
+            return Q.fake_quant_act_per_token(y, a_bits)
         x = L.tap(name, x, taps, inject)
         sx = Q.act_scale_per_token(x, a_bits)
         xq = Q.quantize(x, sx, a_bits)
