@@ -876,6 +876,17 @@ class TranslationEngine:
                 self.params, self._payloads, self._state,
                 jnp.asarray(src), jnp.asarray(ring_pos), jnp.asarray(tags))
 
+    def _complete_harvest(self, rep: np.ndarray, pending_full: list) -> np.ndarray:
+        """Pair a fetched (possibly size-estimated) harvest with its
+        retained full device report; fetch the exact remainder rows when
+        the estimate undercounted (rare, one extra transfer)."""
+        full = pending_full.pop(0)
+        n_done = int(rep[0, 0])
+        if n_done > rep.shape[0] - 1:
+            extra = np.asarray(full[rep.shape[0]: 1 + n_done])
+            rep = np.concatenate([rep, extra], axis=0)
+        return rep
+
     def _drain_report(self, report: np.ndarray) -> list[Request]:
         """Process one fetched report (sync header or full harvest):
         completed rows + ring-tail/completion-count feedback."""
@@ -975,6 +986,13 @@ class TranslationEngine:
         windows: list[int] = []   # chunks covered by each in-flight harvest
         gen = 0                   # harvest generation (stale-sync guard)
         meta: list[tuple] = []    # (kind, gen-at-dispatch) per in-flight fetch
+        # full-size device reports held for the rare remainder fetch: the
+        # harvest FETCH is sized to the estimated completion count (the
+        # [C+1, 3+PT] report is mostly empty rows, and tunnel transfer cost
+        # is per-byte — measured 58-265 ms/MB depending on the day); if the
+        # estimate undercounts, the remainder rows are fetched exactly from
+        # the retained device report, so no completion is ever lost
+        pending_full: list = []
 
         def enqueue(arr, kind):
             nonlocal in_flight, since_sync
@@ -1017,11 +1035,19 @@ class TranslationEngine:
                         or tail_done)
                 if want:
                     self._state, report = self._drain(self._state)
+                    # size the fetch to the expected fill (margin 1.3x+32,
+                    # bounded by in-flight count), rounded up to 256-row
+                    # buckets so the slice executables are reused; the
+                    # device report is retained for exact remainder
+                    raw = min(int(since_harvest * est * 1.3) + 32,
+                              max(len(self._inflight), 1))
+                    n_est = min(self._C, 256 * (1 + (raw - 1) // 256))
                     self._cur_known = 0
                     gen += 1       # syncs dispatched earlier are now stale
                     windows.append(since_harvest)
                     since_harvest = 0
-                    enqueue(report, "harvest")
+                    pending_full.append(report)
+                    enqueue(report[: 1 + n_est], "harvest")
                 elif (since_sync >= drain_every
                       and (self.R - (self._head - self._tail_known) < queued
                            or since_harvest * est >= 0.35 * self._C)):
@@ -1039,6 +1065,8 @@ class TranslationEngine:
                     except pyqueue.Empty:
                         break
                     kind, g0 = meta.pop(0)
+                    if kind == "harvest":
+                        rep = self._complete_harvest(rep, pending_full)
                     finished = self._drain_report(rep)
                     if kind == "sync" and g0 < gen:
                         # this sync predates a harvest that reset the device
@@ -1060,8 +1088,11 @@ class TranslationEngine:
                     in_flight -= 1
                     self._admit()
             while in_flight > 0:
-                meta.pop(0)
-                done.extend(self._drain_report(fetched.get()))
+                kind, _g0 = meta.pop(0)
+                rep = fetched.get()
+                if kind == "harvest":
+                    rep = self._complete_harvest(rep, pending_full)
+                done.extend(self._drain_report(rep))
                 in_flight -= 1
         finally:
             to_fetch.put(stop)
