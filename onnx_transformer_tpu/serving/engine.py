@@ -38,6 +38,8 @@ batching on top.
 from __future__ import annotations
 
 import itertools
+import os
+import time
 from dataclasses import dataclass, field
 from typing import Callable, Optional, Sequence
 
@@ -1005,11 +1007,18 @@ class TranslationEngine:
             in_flight += 1
             since_sync = 0
 
+        dbg = os.environ.get("ENGINE_DEBUG")
+        td = {"admit": 0.0, "chunk": 0.0, "drain": 0.0, "proc": 0.0,
+              "iters": 0, "chunks": 0, "harvests": 0}
         try:
             while self._pending():
+                td["iters"] += 1
+                _t = time.perf_counter() if dbg else 0.0
                 # top up the staging ring before every chunk (no-op when the
                 # conservative free-space estimate says the ring is full)
                 self._admit()
+                if dbg:
+                    td["admit"] += time.perf_counter() - _t
                 queued = sum(len(q) for q in self._queues.values())
                 queue_empty = queued == 0
                 # drain tail: when the rate estimate says every in-flight
@@ -1021,9 +1030,13 @@ class TranslationEngine:
                              and since_harvest * est
                              >= 1.1 * len(self._inflight))
                 if not tail_done:
+                    _t = time.perf_counter() if dbg else 0.0
                     self._state = self._dispatch_chunk(
                         self._state,
                         jnp.asarray(self._head % self._HWRAP, jnp.int32))
+                    if dbg:
+                        td["chunk"] += time.perf_counter() - _t
+                        td["chunks"] += 1
                     since_sync += 1
                     since_harvest += 1
                 # harvest when the estimated completion count approaches the
@@ -1058,6 +1071,7 @@ class TranslationEngine:
                 # process whatever the fetcher finished; block when the
                 # pipeline is full, or when the drain tail stopped
                 # dispatching chunks (nothing to overlap the fetch with)
+                _t = time.perf_counter() if dbg else 0.0
                 while in_flight > 0:
                     block = in_flight >= pipeline_depth or tail_done
                     try:
@@ -1087,6 +1101,8 @@ class TranslationEngine:
                     done.extend(finished)
                     in_flight -= 1
                     self._admit()
+                if dbg:
+                    td["proc"] += time.perf_counter() - _t
             while in_flight > 0:
                 kind, _g0 = meta.pop(0)
                 rep = fetched.get()
@@ -1097,6 +1113,8 @@ class TranslationEngine:
         finally:
             to_fetch.put(stop)
             th.join()
+        if dbg:
+            print(f"ENGINE_DEBUG: {td}", flush=True)
         return done
 
 
