@@ -367,6 +367,13 @@ class Transformer:
                 v = L.split_heads(
                     self_cache["v"].astype(jnp.float32) * self_cache["v_scale"], h)
             else:
+                # NOTE (r5 negative result, removed): an int8-operand BLOCK
+                # attention for the prefill (exact int32 score dots,
+                # int8-sized head-split copies) measured 46.6 vs 38.2 ms
+                # prefill in an interleaved A/B — the three extra
+                # requantize passes (the fp path feeds fake-quant outputs
+                # straight into the dots) cost more than int8 dots save at
+                # dk=64.  See RESULTS.md r5.
                 k = L.split_heads(kfull, h)
                 v = L.split_heads(vfull, h)
                 if self_cache is not None:

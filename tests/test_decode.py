@@ -68,6 +68,7 @@ def test_beam_size_1_equals_greedy(small):
     np.testing.assert_array_equal(ys_b, ys_g)
 
 
+@pytest.mark.slow
 def test_beam_score_not_worse_than_greedy(small):
     """Beam-4's model score (sum log p of emitted tokens) must be >= greedy's."""
     m, params = small

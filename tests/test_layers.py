@@ -132,3 +132,4 @@ def test_int8_cache_attention_matches_dequant_reference():
     np.testing.assert_allclose(np.array(got), np.array(want), rtol=1e-5, atol=1e-5)
     assert set(taps) == {"x.scores", "x.probs", "x.context"}
     assert taps["x.probs"].shape == (b, h, 1, t)
+

@@ -83,6 +83,7 @@ def test_dp_batch_sharded_decode_matches(small):
     np.testing.assert_array_equal(ys_dp, ys_ref)
 
 
+@pytest.mark.slow
 def test_beam_decode_with_tp_params(small):
     m, params = small
     src, sm = _src(b=4)

@@ -345,6 +345,7 @@ def test_fused_w4a8_kernel_matches_xla_chain():
                                 atol=1e-4, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_w4a8_fused_impl_end_to_end_tokens():
     """Fused-kernel W4A8 impl vs the XLA impl: near-total token agreement."""
     import numpy as _np

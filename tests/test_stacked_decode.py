@@ -50,7 +50,8 @@ def test_greedy_chunked_matches_general_int8(setup, chunk):
     np.testing.assert_array_equal(ys_fast, ys_gen)
 
 
-@pytest.mark.parametrize("segments", [2, 3])
+@pytest.mark.parametrize("segments", [
+    2, pytest.param(3, marks=pytest.mark.slow)])
 def test_greedy_chunked_segments_match_general(setup, segments):
     """Segment-grown self-KV ring (reads only the prefix that can be
     valid) must stay token-identical to the general path — masked tail
@@ -66,6 +67,7 @@ def test_greedy_chunked_segments_match_general(setup, segments):
     np.testing.assert_array_equal(ys_seg, ys_gen)
 
 
+@pytest.mark.slow
 def test_int8_generator_variant(setup):
     m, sp, _, _ = setup
     src, sm = _src()
@@ -105,6 +107,7 @@ def test_fused_mode_encoder_bit_identical(setup):
         W8.FUSED_MIN_TOKENS = old
 
 
+@pytest.mark.slow
 def test_int4_chunked_matches_general_w4a8(setup):
     """Chunked fast path fed int4-valued (unpacked) weights must match the
     general W4A8 decode token-for-token."""

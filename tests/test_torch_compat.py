@@ -52,6 +52,7 @@ def test_state_dict_names_match_reference_scheme(small):
     assert state["generator.proj.weight"].shape == (17, 16)
 
 
+@pytest.mark.slow
 def test_against_real_torch_linear_semantics(small):
     """Push a converted weight through torch.nn.functional.linear and our
     L.linear — outputs must match (validates the transpose convention)."""
