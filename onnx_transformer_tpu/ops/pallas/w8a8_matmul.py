@@ -453,6 +453,153 @@ def _quant_w4a8_kernel(x_ref, wp_ref, sw_ref, b_ref, o_ref):
     o_ref[:] = acc.astype(jnp.float32) * (sx * sw_ref[:]) + b_ref[:]
 
 
+def _quant_w4a8_kernel_qout(x_ref, wp_ref, sw_ref, b_ref, o_ref):
+    """W4A8 + fused per-token OUTPUT fake-quant (the q/k/v projections'
+    quantize_bmm_input) — saves the XLA fake-quant round trip."""
+    x = x_ref[:]
+    absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    sx = jnp.clip(absmax, SCALE_FLOOR, None) / 127.0
+    xq = jnp.round(x / sx).astype(jnp.int8)
+    wp = wp_ref[:].astype(jnp.int32)
+    lo = wp & 0xF
+    hi = (wp >> 4) & 0xF
+    lo = jnp.where(lo > 7, lo - 16, lo).astype(jnp.int8)
+    hi = jnp.where(hi > 7, hi - 16, hi).astype(jnp.int8)
+    k2, n = wp.shape
+    w = jnp.stack([lo, hi], axis=1).reshape(2 * k2, n)
+    acc = jax.lax.dot_general(
+        xq, w, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * (sx * sw_ref[:]) + b_ref[:]
+    sy = jnp.clip(jnp.max(jnp.abs(y), axis=-1, keepdims=True),
+                  SCALE_FLOOR, None) / 127.0
+    o_ref[:] = jnp.round(y / sy) * sy
+
+
+@partial(jax.jit, static_argnames=("block_m", "interpret"))
+def quant_w4a8_matmul_qout(
+    x: jax.Array,          # f32 [..., K]
+    wq_packed: jax.Array,  # uint8 [K//2, N]
+    sw: jax.Array,         # f32 [N]
+    b: jax.Array | None = None,
+    block_m: int = 256,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """quant_w4a8_matmul with the per-token output fake-quant fused into
+    the kernel epilogue (W4A8 analogue of quant_w8a8_matmul_qout)."""
+    interpret = resolve_interpret(interpret)
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    n = wq_packed.shape[-1]
+    assert wq_packed.shape[0] * 2 == k and k <= 2048 and n <= 2048
+    x2 = x.reshape(-1, k).astype(jnp.float32)
+    m = x2.shape[0]
+    bm = min(block_m, max(8, 1 << (m - 1).bit_length()))
+    x2 = _pad_to(x2, bm, 0)
+    mp = x2.shape[0]
+    if b is None:
+        b = jnp.zeros((n,), jnp.float32)
+    out = pl.pallas_call(
+        _quant_w4a8_kernel_qout,
+        grid=(mp // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k // 2, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, n), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, n), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * n * k,
+            bytes_accessed=mp * k * 4 + k * n // 2 + mp * n * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x2, wq_packed, sw.reshape(1, n).astype(jnp.float32),
+      b.reshape(1, n).astype(jnp.float32))
+    return out[:m].reshape(*lead, n)
+
+
+def _quant_w4a8_kernel_q8(x_ref, wp_ref, sw_ref, b_ref, oq_ref, os_ref):
+    """W4A8 producer form: packed-int4 weights, int8 activations, output
+    emitted as int8 rows + per-token scales (see _quant_w8a8_kernel_q8) —
+    the int4 path's cross-KV prefill producer.  Requires the full output
+    row in one block (per-token scale needs every column)."""
+    x = x_ref[:]
+    absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    sx = jnp.clip(absmax, SCALE_FLOOR, None) / 127.0
+    xq = jnp.round(x / sx).astype(jnp.int8)
+    wp = wp_ref[:].astype(jnp.int32)
+    lo = wp & 0xF
+    hi = (wp >> 4) & 0xF
+    lo = jnp.where(lo > 7, lo - 16, lo).astype(jnp.int8)
+    hi = jnp.where(hi > 7, hi - 16, hi).astype(jnp.int8)
+    k2, n = wp.shape
+    w = jnp.stack([lo, hi], axis=1).reshape(2 * k2, n)
+    acc = jax.lax.dot_general(
+        xq, w, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * (sx * sw_ref[:]) + b_ref[:]
+    sy = jnp.clip(jnp.max(jnp.abs(y), axis=-1, keepdims=True),
+                  SCALE_FLOOR, None) / 127.0
+    oq_ref[:] = jnp.round(y / sy).astype(jnp.int8)
+    os_ref[:] = sy
+
+
+@partial(jax.jit, static_argnames=("block_m", "interpret"))
+def quant_w4a8_matmul_q8(
+    x: jax.Array,          # f32 [..., K]
+    wq_packed: jax.Array,  # uint8 [K//2, N]
+    sw: jax.Array,         # f32 [N]
+    b: jax.Array | None = None,
+    block_m: int = 256,
+    interpret: bool | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused quantize + packed-int4 matmul + per-token OUTPUT quantization
+    -> (int8 [..., N], scales [..., 1]); the W4A8 analogue of
+    :func:`quant_w8a8_matmul_q8`."""
+    interpret = resolve_interpret(interpret)
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    n = wq_packed.shape[-1]
+    assert wq_packed.shape[0] * 2 == k and k <= 2048 and n <= 2048
+    x2 = x.reshape(-1, k).astype(jnp.float32)
+    m = x2.shape[0]
+    bm = min(block_m, max(8, 1 << (m - 1).bit_length()))
+    x2 = _pad_to(x2, bm, 0)
+    mp = x2.shape[0]
+    if b is None:
+        b = jnp.zeros((n,), jnp.float32)
+    oq, os_ = pl.pallas_call(
+        _quant_w4a8_kernel_q8,
+        grid=(mp // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k // 2, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((bm, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((mp, n), jnp.int8),
+            jax.ShapeDtypeStruct((mp, 1), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * n * k,
+            bytes_accessed=mp * k * 4 + k * n // 2 + mp * n,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x2, wq_packed, sw.reshape(1, n).astype(jnp.float32),
+      b.reshape(1, n).astype(jnp.float32))
+    return (oq[:m].reshape(*lead, n), os_[:m].reshape(*lead, 1))
+
+
 @partial(jax.jit, static_argnames=("block_m", "block_n", "interpret"))
 def quant_w4a8_matmul(
     x: jax.Array,          # f32 [..., K]

@@ -89,7 +89,10 @@ def make_w4a8_linear_impl(payloads: dict, a_bits: int = 8,
     step's weight reads are int8-sized; the kernel is where the int4
     bandwidth story is real)."""
     if fused:
-        from onnx_transformer_tpu.ops.pallas.w8a8_matmul import quant_w4a8_matmul
+        from onnx_transformer_tpu.ops.pallas.w8a8_matmul import (
+            quant_w4a8_matmul,  # noqa: F401 (kept for non-qout callers)
+            quant_w4a8_matmul_qout,
+        )
 
     def lin(name: str, x, w, b, taps=None, inject=None):
         p = payloads.get(name)
@@ -105,8 +108,8 @@ def make_w4a8_linear_impl(payloads: dict, a_bits: int = 8,
             # plain kernel on the other linears (RESULTS r4 finding 4),
             # and routing the FFN through it was the r4 int4-row
             # regression suspect (BENCH_r04 248.7k vs the ~290k claim)
-            y = quant_w4a8_matmul(x, p["wq_packed"], p["sw"], p["b"])
-            return Q.fake_quant_act_per_token(y, a_bits)
+            return quant_w4a8_matmul_qout(x, p["wq_packed"], p["sw"],
+                                          p["b"], block_m=512)
         x = L.tap(name, x, taps, inject)
         sx = Q.act_scale_per_token(x, a_bits)
         xq = Q.quantize(x, sx, a_bits)
@@ -127,6 +130,23 @@ def make_w4a8_linear_impl(payloads: dict, a_bits: int = 8,
         return y
 
     lin.quantized_output_grid = True
+
+    if fused:
+        from onnx_transformer_tpu.ops.pallas.w8a8_matmul import quant_w4a8_matmul_q8
+
+        def linear_q8(name, x, w=None, b=None):
+            """int8-rows+scales producer for the int8 cross-KV cache —
+            the W4A8 analogue of quant/w8a8.py's linear_q8 (None = caller
+            falls back to the fake-quant chain)."""
+            p = payloads.get(name)
+            if (p is None or not is_quantized_output(name) or a_bits != 8
+                    or int(np.prod(x.shape[:-1])) < W8.FUSED_MIN_TOKENS
+                    or x.shape[-1] > 2048 or p["wq_packed"].shape[-1] > 2048):
+                return None
+            return quant_w4a8_matmul_q8(x, p["wq_packed"], p["sw"], p["b"],
+                                        block_m=512)
+
+        lin.linear_q8 = linear_q8
     # see quant/w8a8.py: pass payloads as jit args, not closure consts
     lin.payloads = payloads
     lin.rebind = lambda p: make_w4a8_linear_impl(p, a_bits, fused)

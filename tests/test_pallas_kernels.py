@@ -274,3 +274,32 @@ def test_cross_kv_q8_producer_matches_chain():
                                     kv_cache_dtype="int8"))
     agree = np.mean(ys_f == ys_r)
     assert agree >= 0.95, agree
+
+
+def test_quant_w4a8_qout_and_q8_match_chain():
+    """W4A8 qout/q8 kernel variants vs the XLA fake-quant chain."""
+    import numpy as np
+    from onnx_transformer_tpu.ops.pallas.w8a8_matmul import (
+        quant_w4a8_matmul, quant_w4a8_matmul_q8, quant_w4a8_matmul_qout)
+    from onnx_transformer_tpu.quant.core import (
+        fake_quant_act_per_token, quantize_act_per_token)
+
+    rng = np.random.default_rng(23)
+    m, k, n = 24, 64, 96
+    x = jnp.asarray(rng.normal(size=(m, k)), jnp.float32)
+    wq = jnp.asarray(rng.integers(-8, 8, (k, n)), jnp.int8)
+    from onnx_transformer_tpu.quant.core import pack_int4
+    packed = pack_int4(wq)
+    sw = jnp.asarray(rng.uniform(0.01, 0.1, (n,)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(n,)) * 0.1, jnp.float32)
+
+    y_plain = quant_w4a8_matmul(x, packed, sw, b)
+    want_qout = fake_quant_act_per_token(y_plain)
+    got_qout = quant_w4a8_matmul_qout(x, packed, sw, b)
+    np.testing.assert_allclose(np.asarray(got_qout), np.asarray(want_qout),
+                               atol=1e-5, rtol=1e-5)
+    q, sc = quant_w4a8_matmul_q8(x, packed, sw, b)
+    want_q, want_s = quantize_act_per_token(want_qout)
+    np.testing.assert_allclose(np.asarray(sc), np.asarray(want_s),
+                               rtol=1e-6, atol=1e-8)
+    np.testing.assert_array_equal(np.asarray(q), np.asarray(want_q))
