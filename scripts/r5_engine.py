@@ -62,7 +62,10 @@ def main():
         "cc8k":    dict(chunk_steps=12, refill_every=6, comp_capacity=8192),
         "re4cc8k": dict(chunk_steps=12, refill_every=4, comp_capacity=8192),
         "de6":     dict(chunk_steps=12, refill_every=6, drain_every=6),
-        "c16":     dict(chunk_steps=16, refill_every=4, comp_capacity=8192),
+        "c16":     dict(chunk_steps=16, refill_every=8, comp_capacity=8192,
+                    stage_capacity=6656),
+        "c18":     dict(chunk_steps=18, refill_every=6, comp_capacity=8192,
+                    stage_capacity=6656),
         # full-stream staging ring: every request stages up front, admission
         # never waits on tail feedback (R ~ stream depth; ~2.9 GB stage)
         "bigR":    dict(chunk_steps=12, refill_every=6, comp_capacity=8192,
