@@ -316,14 +316,14 @@ def main():
     # profiler measures 1.27 — the half-length program's call overhead
     # differs enough to corrupt the subtraction.)
     def _prefill_probe(p, pl, s, m):
-        cache = model.init_cache(
-            p, model.encode(p, s, m, lin=rbf(pl)), MAX_LEN, lin=rbf(pl),
-            cache_dtype="int8")
-        # reduce over the cross-K/V so the encoder + projections cannot be
-        # dead-code-eliminated (the self-cache entries are just zeros)
+        # exactly the prefill the chunked decode runs (cross_kv directly;
+        # no dead full-length zero rings).  Reduce over the cross-K/V so
+        # the encoder + projections cannot be dead-code-eliminated.
+        cross = model.cross_kv(p, model.encode(p, s, m, lin=rbf(pl)),
+                               lin=rbf(pl), cache_dtype="int8")
         return sum(jnp.sum(lc["cross_k"].astype(jnp.int32))
                    + jnp.sum(lc["cross_v"].astype(jnp.int32))
-                   for lc in cache["layers"])
+                   for lc in cross)
 
     t_pre, _ = timed(jax.jit(_prefill_probe), sp, pl8, src, sm)
     # the chunked decode runs MAX_LEN steps (last chunk overhang)
