@@ -427,3 +427,21 @@ def test_engine_beam_more_requests_than_groups(setup):
     done = eng.run()
     assert len(done) == len(srcs)
     assert all(r.done and len(r.out_tokens) <= 7 for r in done)
+
+
+def test_complete_harvest_remainder_fetch(setup):
+    """When the sized harvest fetch undercounts, the remainder rows must be
+    fetched exactly from the retained device report (no completion lost)."""
+    m, params, srcs = setup
+    eng = TranslationEngine(m, params, num_slots=4, src_len=srcs.shape[1],
+                            max_len=8, chunk_steps=2)
+    full = jnp.asarray(np.arange(9 * 7, dtype=np.int32).reshape(9, 7))
+    full = full.at[0, 0].set(6)       # header says 6 completions
+    rep = np.asarray(full[:4])        # fetch sized to only 3 rows
+    out = eng._complete_harvest(rep, [full])
+    assert out.shape[0] == 7          # header + 6 rows
+    np.testing.assert_array_equal(out, np.asarray(full[:7]))
+    # exact-size fetch: no extra fetch, report unchanged
+    rep2 = np.asarray(full[:7])
+    out2 = eng._complete_harvest(rep2, [full])
+    np.testing.assert_array_equal(out2, rep2)
