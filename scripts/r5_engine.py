@@ -50,6 +50,19 @@ def main():
     linf = W.make_w8a8_linear_impl(_lin8.payloads, mode="fused")
 
     pairs = load_split("/root/reference/data", "test")[: args.requests]
+    if os.environ.get("LPT"):
+        # longest-source-first batch scheduling (LPT): long outputs start
+        # while the pool is busy, so the drain tail holds only short
+        # stragglers instead of 71-step cap-runners
+        pairs = sorted(pairs, key=lambda p: -len(p[0].split()))
+    elif os.environ.get("HEADLPT"):
+        # head-LPT: only the longest B requests go first (they bound the
+        # makespan); the rest keep stream order so death times stay mixed
+        # (full LPT groups equal lengths -> synchronized death waves)
+        order = sorted(range(len(pairs)), key=lambda i: -len(pairs[i][0].split()))
+        head = set(order[:512])
+        pairs = ([pairs[i] for i in order[:512]]
+                 + [p for i, p in enumerate(pairs) if i not in head])
     reqs = []
     for s, _ in pairs:
         src, _t = collate([(s, "")], vs, vt, MAX_LEN)
