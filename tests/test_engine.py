@@ -445,3 +445,17 @@ def test_complete_harvest_remainder_fetch(setup):
     rep2 = np.asarray(full[:7])
     out2 = eng._complete_harvest(rep2, [full])
     np.testing.assert_array_equal(out2, rep2)
+
+
+def test_backpressure_gates_refills_but_loses_nothing(setup):
+    """A deliberately tiny completion buffer must engage the refill
+    backpressure (gated counter > 0) without ever losing a completion."""
+    m, params, srcs = setup
+    eng = TranslationEngine(m, params, num_slots=4, src_len=srcs.shape[1],
+                            max_len=8, chunk_steps=2,
+                            comp_capacity=16)   # tiny: room = cur < 16-8
+    for s in list(srcs) * 3:                    # 27 requests through 4 slots
+        eng.submit(s)
+    done = eng.run(drain_every=8)               # lazy drains -> pressure
+    assert len(done) == 3 * len(srcs)
+    assert all(r.done for r in done)
